@@ -1,0 +1,156 @@
+"""FlowGNN — the flagship RANS flow-surrogate model.
+
+Architecture parity with ``/root/reference/gnn_model.py:14-220`` (``FlowGNN``):
+``Linear(3→H)`` input projection, ``L`` blocks of {conv, residual add,
+BatchNorm, ReLU, dropout}, and the 4-layer output MLP ``H→H→H→H/2→out`` with
+interleaved ReLU/dropout (``gnn_model.py:90-100``).  Output layout is
+``[U(3), p, k, epsilon, nut]`` (+ optional residual channel when
+``output_dim > 7``).
+
+Differences by design (TPU-first):
+
+* operates on the static padded :class:`~gnn_bfs_rans_tpu.graph.structs.Graph`
+  — no runtime edge validation/repair (``gnn_model.py:125-156``); invariants
+  are asserted once at graph build;
+* batch normalization is masked over real nodes (padding excluded);
+* the whole forward is jit-compatible: no data-dependent Python control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..graph.structs import Graph
+from .convs import CONV_REGISTRY, _lecun_linear
+from .norm import MaskedBatchNorm
+
+FIELD_NAMES = ("U", "p", "k", "epsilon", "nut")
+FIELD_SLICES = {"U": (0, 3), "p": (3, 4), "k": (4, 5), "epsilon": (5, 6), "nut": (6, 7)}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters; defaults mirror the reference training CLI
+
+    (``train.py:276-282``: hidden 256, 6 layers, GCN) with model-level
+    defaults from ``gnn_model.py:20-30``.
+    """
+
+    input_dim: int = 3
+    hidden_dim: int = 256
+    output_dim: int = 7
+    num_layers: int = 6
+    layer_type: str = "GCN"      # GCN | GAT | GIN | Transformer
+    heads: int = 4
+    dropout: float = 0.1
+    use_batch_norm: bool = True
+    use_edge_attr: bool = True   # feeds edge features to Transformer conv
+    backend: str = "dense"       # segment | dense | pallas
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class FlowGNN(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, graph: Graph, train: bool = False
+    ) -> jax.Array:
+        cfg = self.config
+        x = graph.node_feat
+        x = _lecun_linear(cfg.hidden_dim, name="input_proj")(x)
+
+        conv_cls = CONV_REGISTRY[cfg.layer_type]
+        for i in range(cfg.num_layers):
+            kwargs: dict[str, Any] = dict(
+                features=cfg.hidden_dim, backend=cfg.backend, name=f"conv_{i}"
+            )
+            call_kwargs: dict[str, Any] = {}
+            if cfg.layer_type == "GAT":
+                kwargs.update(heads=cfg.heads, concat=False, dropout=cfg.dropout)
+                call_kwargs["deterministic"] = not train
+            elif cfg.layer_type == "Transformer":
+                kwargs.update(
+                    heads=cfg.heads,
+                    concat=False,
+                    dropout=cfg.dropout,
+                    edge_dim=(graph.edge_feat.shape[1] if cfg.use_edge_attr else None),
+                )
+                call_kwargs["deterministic"] = not train
+            layer = conv_cls(**kwargs)
+            x_new = layer(x, graph, **call_kwargs)
+
+            x = x + x_new  # residual (gnn_model.py:184)
+            if cfg.use_batch_norm:
+                x = MaskedBatchNorm(cfg.hidden_dim, name=f"bn_{i}")(
+                    x, graph.node_mask, use_running_average=not train
+                )
+            x = nn.relu(x)
+            x = nn.Dropout(cfg.dropout, name=f"drop_{i}")(
+                x, deterministic=not train
+            )
+
+        # Output MLP: H→H→H→H/2→out with ReLU+dropout (gnn_model.py:90-100).
+        h = _lecun_linear(cfg.hidden_dim, name="out_0")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout, name="out_drop_0")(h, deterministic=not train)
+        h = _lecun_linear(cfg.hidden_dim, name="out_1")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout, name="out_drop_1")(h, deterministic=not train)
+        h = _lecun_linear(cfg.hidden_dim // 2, name="out_2")(h)
+        h = nn.relu(h)
+        out = _lecun_linear(cfg.output_dim, name="out_3")(h)
+        return out
+
+
+def split_fields(output: jax.Array) -> dict[str, jax.Array]:
+    """Slice model output into named fields (``gnn_model.py:199-220``)."""
+    fields = {name: output[:, a:b] for name, (a, b) in FIELD_SLICES.items()}
+    if output.shape[1] > 7:
+        fields["residual"] = output[:, 7:8]
+    return fields
+
+
+class FlowGNNSurrogate(nn.Module):
+    """Encoder-decoder surrogate with optional additive BC embedding.
+
+    Parity with ``gnn_model.py:223-291`` (``FlowGNNSurrogate``): two stacked
+    FlowGNNs of ``num_layers // 2`` each; boundary-condition features are
+    added between the stages when provided.
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: Graph,
+        boundary_conditions: jax.Array | None = None,
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        enc_cfg = dataclasses.replace(
+            cfg, output_dim=cfg.hidden_dim, num_layers=max(cfg.num_layers // 2, 1)
+        )
+        dec_cfg = dataclasses.replace(
+            cfg,
+            input_dim=cfg.hidden_dim,
+            num_layers=max(cfg.num_layers // 2, 1),
+        )
+        encoded = FlowGNN(enc_cfg, name="encoder")(graph, train=train)
+        if boundary_conditions is not None:
+            encoded = encoded + boundary_conditions
+        graph_dec = dataclasses.replace(graph, node_feat=encoded)
+        return FlowGNN(dec_cfg, name="decoder")(graph_dec, train=train)
