@@ -1,0 +1,92 @@
+"""Shared checkpoint-load + predict API.
+
+The reference copy-pastes ``load_model`` + ``predict_fields`` into three
+scripts (``inference.py:20-87``, ``visualize.py:22-81``, ``plot_lines.py:18-77``
+— SURVEY.md §1).  This module is the single implementation all CLIs use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .foam.reader import FoamCase
+from .graph.build import build_graph
+from .graph.structs import Graph
+from .models.flow_gnn import FlowGNN, ModelConfig, split_fields
+from .train.checkpoint import load_checkpoint, load_meta
+from .train.loop import TrainConfig, TrainState, init_state, make_forward
+from .train.normalization import FieldNormalizer
+
+
+@dataclasses.dataclass
+class Predictor:
+    """A loaded model + normalizer bound to a jitted forward."""
+
+    model: FlowGNN
+    model_config: ModelConfig
+    params: dict
+    batch_stats: dict
+    normalizer: FieldNormalizer | None
+    meta: dict
+
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_dir: str | Path, name: str = "best"
+    ) -> "Predictor":
+        """Reconstruct the exact model from the embedded config
+
+        (parity with ``inference.py:20-59``).
+        """
+        meta = load_meta(checkpoint_dir, name)
+        model_config = ModelConfig.from_dict(meta["model_config"])
+        restored, _ = load_checkpoint(checkpoint_dir, name)
+        normalizer = (
+            FieldNormalizer.from_dict(meta["normalizer"])
+            if meta.get("normalizer")
+            else None
+        )
+        model = FlowGNN(model_config)
+        return cls(
+            model=model,
+            model_config=model_config,
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", {}),
+            normalizer=normalizer,
+            meta=meta,
+        )
+
+    def __post_init__(self):
+        self._forward = make_forward(self.model)
+
+    def predict_packed(self, graph: Graph) -> np.ndarray:
+        """Normalized model output on real nodes, [n_nodes, 7]."""
+        out = self._forward(self.params, self.batch_stats, graph)
+        return np.asarray(out)[: graph.n_nodes]
+
+    def predict_fields(
+        self, graph: Graph, denormalize: bool = True
+    ) -> dict[str, np.ndarray]:
+        """Forward + slice + (optionally) denormalize — ``inference.py:62-87``."""
+        fields = split_fields(self.predict_packed(graph))
+        fields = {k: np.asarray(v) for k, v in fields.items()}
+        if denormalize and self.normalizer is not None:
+            fields = self.normalizer.inverse_transform(fields)
+        return fields
+
+
+def predict_case(
+    checkpoint_dir: str | Path,
+    case_path: str | Path,
+    name: str = "best",
+) -> tuple[Predictor, dict[str, np.ndarray], Graph]:
+    """End-to-end: load checkpoint, parse case, build graph, predict."""
+    predictor = Predictor.from_checkpoint(checkpoint_dir, name)
+    case = FoamCase(case_path)
+    mesh = case.load_mesh()
+    graph = build_graph(mesh).to_device()
+    fields = predictor.predict_fields(graph)
+    return predictor, fields, graph

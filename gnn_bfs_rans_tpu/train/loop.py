@@ -1,0 +1,244 @@
+"""Jitted training step and host-side training loop.
+
+The reference's epoch loop (``train.py:158-213, 391-469``) maps to:
+
+* one fully-jitted ``train_step`` (forward, field-wise weighted loss,
+  backward, curriculum pressure-freeze mask, global-norm clip 1.0, torch-style
+  Adam + L2 weight decay) — no per-step host sync except the scalar loss the
+  progress line reports;
+* a torch-compatible ``ReduceLROnPlateau`` re-implementation (factor 0.5,
+  patience 10, rel threshold 1e-4; ``train.py:374-376``) driven from host;
+* curriculum phase-1 pressure freezing as a gradient mask on the output
+  head's pressure column.  Deviation from the reference, by design: the
+  reference masks only the 2-D weight rows and lets the bias keep learning
+  (``train.py:180-186``, SURVEY.md §2 quirk 5); we mask weight AND bias.
+
+Because every snapshot shares the one static graph and the model input is
+geometry only, a batch of B snapshots needs a single forward — the loss
+averages over the batch's targets (exactly what PyG disjoint-union batching
+of identical graphs computes, without replicating nodes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..graph.structs import Graph
+from ..models.flow_gnn import FlowGNN, ModelConfig
+from .metrics import compute_field_errors
+from .normalization import weighted_fieldwise_mse
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters; defaults mirror ``train.py:283-298``."""
+
+    lr: float = 3e-4
+    weight_decay: float = 1e-5
+    grad_clip: float = 1.0
+    epochs: int = 100
+    batch_size: int = 1
+    pressure_ref_weight: float = 0.1
+    curriculum_epochs: int = 0
+    save_every: int = 10
+    seed: int = 0
+    # plateau scheduler (torch ReduceLROnPlateau defaults + reference args)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 10
+    plateau_threshold: float = 1e-4
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TrainConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: clip → L2 decay into grad → Adam moments."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def init_state(
+    model: FlowGNN, graph: Graph, cfg: TrainConfig, rng: jax.Array
+) -> TrainState:
+    variables = model.init(rng, graph, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+
+
+def _pressure_freeze_mask(path, leaf):
+    """Zero the pressure (index 3) output column of the final head.
+
+    flax Dense kernels are [in, out]; the head ``out_3`` maps H/2 → 7, so the
+    pressure column is ``kernel[:, 3]`` / ``bias[3]``.
+    """
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    if "out_3" in names:
+        return leaf.at[..., 3].set(0.0)
+    return leaf
+
+
+def make_train_step(
+    model: FlowGNN, cfg: TrainConfig
+) -> Callable:
+    tx = make_optimizer(cfg)
+
+    @partial(jax.jit, static_argnames=("freeze_pressure",), donate_argnums=(0,))
+    def train_step(
+        state: TrainState,
+        graph: Graph,
+        targets: jax.Array,   # [B, N_pad, 7]
+        lr: jax.Array,
+        rng: jax.Array,
+        freeze_pressure: bool = False,
+    ):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                graph,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            loss = jnp.mean(
+                jax.vmap(
+                    lambda t: weighted_fieldwise_mse(
+                        out, t, graph.node_mask,
+                        pressure_ref_weight=cfg.pressure_ref_weight,
+                    )
+                )(targets)
+            )
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if freeze_pressure:
+            grads = jax.tree_util.tree_map_with_path(_pressure_freeze_mask, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if freeze_pressure:
+            # Also mask the post-optimizer update: the L2 decay term added
+            # inside the chain would otherwise drive an Adam-normalized step
+            # on the frozen column (the reference has this leak, train.py:180-186;
+            # we freeze for real).
+            updates = jax.tree_util.tree_map_with_path(_pressure_freeze_mask, updates)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def make_eval_step(model: FlowGNN, cfg: TrainConfig) -> Callable:
+    @jax.jit
+    def eval_step(state: TrainState, graph: Graph, targets: jax.Array):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            graph,
+            train=False,
+        )
+        loss = jnp.mean(
+            jax.vmap(
+                lambda t: weighted_fieldwise_mse(
+                    out, t, graph.node_mask,
+                    pressure_ref_weight=cfg.pressure_ref_weight,
+                )
+            )(targets)
+        )
+        # field errors vs the snapshot-averaged target (diagnostic parity with
+        # evaluate_detailed, which concatenates all snapshots)
+        errs_per = jax.vmap(
+            lambda t: compute_field_errors(out, t, graph.node_mask)
+        )(targets)
+        errors = {k: jnp.mean(v) for k, v in errs_per.items()}
+        return loss, errors, out
+
+    return eval_step
+
+
+def make_forward(model: FlowGNN) -> Callable:
+    @jax.jit
+    def forward(params, batch_stats, graph: Graph):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, graph, train=False
+        )
+
+    return forward
+
+
+class ReduceLROnPlateau:
+    """Host-side re-implementation of torch's plateau scheduler.
+
+    mode='min', threshold_mode='rel' (torch defaults), factor/patience from
+    the reference (``train.py:374-376``).
+    """
+
+    def __init__(
+        self,
+        lr: float,
+        factor: float = 0.5,
+        patience: int = 10,
+        threshold: float = 1e-4,
+        min_lr: float = 0.0,
+    ):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+
+def iterate_batches(
+    n_samples: int, batch_size: int, rng: np.random.Generator
+) -> list[np.ndarray]:
+    """Shuffled batch index lists (drop nothing; last batch may be short)."""
+    order = rng.permutation(n_samples)
+    return [order[i : i + batch_size] for i in range(0, n_samples, batch_size)]

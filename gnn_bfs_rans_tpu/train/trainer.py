@@ -1,0 +1,210 @@
+"""High-level trainer: epochs, curriculum, plateau LR, history, checkpoints.
+
+Behavioral parity with the reference ``train.py main()`` (``train.py:267-486``):
+
+* per-epoch: shuffled batches → train steps; "validation" over the same data
+  in eval mode (the reference has no split, ``train.py:410-412``); plateau
+  scheduler stepped on val loss; detailed per-field errors every 10 epochs;
+* curriculum (``--curriculum_epochs``): phase 1 freezes the pressure output,
+  phase 2 unfreezes and halves the LR (``train.py:391-403``);
+* best checkpoint on val-loss improvement + periodic ``epoch_N`` checkpoints
+  (``train.py:443-469``) — plus actual resume, which the reference lacks;
+* ``training_history.json`` with the exact reference schema
+  {epoch, train_loss, val_loss, learning_rate, field_errors}
+  (``train.py:383-389, 474-486``) so the plotting tool is drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.flow_gnn import FlowGNN, ModelConfig
+from .checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    restore_state,
+    save_checkpoint,
+)
+from .data import FlowDataset
+from .loop import (
+    ReduceLROnPlateau,
+    TrainConfig,
+    TrainState,
+    init_state,
+    iterate_batches,
+    make_eval_step,
+    make_train_step,
+)
+
+FIELDS = ("U", "p", "k", "epsilon", "nut")
+
+
+def empty_history() -> dict:
+    return {
+        "epoch": [],
+        "train_loss": [],
+        "val_loss": [],
+        "field_errors": {f: [] for f in FIELDS},
+        "learning_rate": [],
+    }
+
+
+class Trainer:
+    def __init__(
+        self,
+        dataset: FlowDataset,
+        model_config: ModelConfig,
+        train_config: TrainConfig,
+        output_dir: str | Path = "checkpoints",
+        log_fn=print,
+    ):
+        self.dataset = dataset
+        self.model_config = model_config
+        self.config = train_config
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.log = log_fn
+
+        self.model = FlowGNN(model_config)
+        self.graph = dataset.graph.to_device()
+        self.targets = jnp.asarray(dataset.targets)
+
+        self.train_step = make_train_step(self.model, train_config)
+        self.eval_step = make_eval_step(self.model, train_config)
+
+        self.rng = jax.random.PRNGKey(train_config.seed)
+        self.np_rng = np.random.default_rng(train_config.seed)
+        self.history = empty_history()
+        self.state: TrainState | None = None
+        self.start_epoch = 1
+        self.scheduler = ReduceLROnPlateau(
+            train_config.lr,
+            factor=train_config.plateau_factor,
+            patience=train_config.plateau_patience,
+            threshold=train_config.plateau_threshold,
+        )
+        self.best_val = float("inf")
+
+    # ------------------------------------------------------------------ setup
+    def initialize(self, resume: bool = False) -> None:
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.state = init_state(self.model, self.graph, self.config, init_rng)
+        if resume:
+            name = latest_checkpoint(self.output_dir)
+            if name is not None:
+                restored, meta = load_checkpoint(
+                    self.output_dir, name, abstract_state=self.state
+                )
+                self.state = restore_state(TrainState, restored)
+                self.start_epoch = int(meta.get("epoch", 0)) + 1
+                self.best_val = float(meta.get("best_val", meta.get("val_loss", np.inf)))
+                self.scheduler.lr = float(meta.get("lr", self.config.lr))
+                self.scheduler.best = float(meta.get("sched_best", self.best_val))
+                hist_path = self.output_dir / "training_history.json"
+                if hist_path.exists():
+                    self.history = json.loads(hist_path.read_text())
+                self.log(f"Resumed from {name} at epoch {self.start_epoch}")
+
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params)
+        )
+        self.log(f"Model parameters: {n_params:,}")
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> dict:
+        if self.state is None:
+            self.initialize()
+        cfg = self.config
+        n = self.dataset.n_snapshots
+        lr = self.scheduler.lr
+
+        for epoch in range(self.start_epoch, cfg.epochs + 1):
+            freeze = False
+            if cfg.curriculum_epochs > 0:
+                if epoch <= cfg.curriculum_epochs:
+                    freeze = True
+                elif epoch == cfg.curriculum_epochs + 1:
+                    self.scheduler.lr *= 0.5
+                    lr = self.scheduler.lr
+                    self.log(
+                        f"Curriculum phase 2: unfreezing pressure, lr → {lr:.3e}"
+                    )
+
+            t0 = time.perf_counter()
+            losses = []
+            for batch_idx in iterate_batches(n, cfg.batch_size, self.np_rng):
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, loss = self.train_step(
+                    self.state,
+                    self.graph,
+                    self.targets[batch_idx],
+                    jnp.asarray(lr, jnp.float32),
+                    step_rng,
+                    freeze_pressure=freeze,
+                )
+                losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in losses]))
+
+            val_loss, errors, _ = self.eval_step(
+                self.state, self.graph, self.targets
+            )
+            val_loss = float(val_loss)
+            lr_used = lr
+            lr = self.scheduler.step(val_loss)
+
+            detailed = epoch % 10 == 0
+            self.history["epoch"].append(epoch)
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(val_loss)
+            self.history["learning_rate"].append(lr_used)
+            for f in FIELDS:
+                self.history["field_errors"][f].append(
+                    float(errors[f]) if detailed else None
+                )
+            if detailed:
+                self.log(f"Epoch {epoch} field errors: "
+                         + ", ".join(f"{f}={float(errors[f]):.6f}" for f in FIELDS))
+
+            dt = time.perf_counter() - t0
+            self.log(
+                f"Epoch {epoch}: train={train_loss:.6f} val={val_loss:.6f} "
+                f"lr={lr_used:.3e} ({dt:.2f}s)"
+            )
+
+            extra = {
+                "best_val": min(self.best_val, val_loss),
+                "lr": lr,
+                "sched_best": self.scheduler.best,
+            }
+            if val_loss < self.best_val:
+                self.best_val = val_loss
+                self._save("best", epoch, val_loss, extra)
+            if epoch % cfg.save_every == 0:
+                self._save(f"epoch_{epoch}", epoch, val_loss, extra)
+
+        self.save_history()
+        return self.history
+
+    def _save(self, name: str, epoch: int, val_loss: float, extra: dict) -> None:
+        save_checkpoint(
+            self.output_dir,
+            name,
+            self.state,
+            epoch=epoch,
+            val_loss=val_loss,
+            model_config=self.model_config,
+            train_config=self.config,
+            normalizer=self.dataset.normalizer,
+            extra=extra,
+        )
+
+    def save_history(self) -> Path:
+        path = self.output_dir / "training_history.json"
+        path.write_text(json.dumps(self.history, indent=2))
+        return path

@@ -1,0 +1,153 @@
+"""End-to-end training tests: loss decreases, checkpoints round-trip, resume."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_bfs_rans_tpu.models.flow_gnn import FlowGNN, ModelConfig
+from gnn_bfs_rans_tpu.train import (
+    ReduceLROnPlateau,
+    TrainConfig,
+    Trainer,
+    load_dataset,
+)
+from gnn_bfs_rans_tpu.train.loop import init_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def small_dataset():
+    return load_dataset(
+        "/root/reference/OpenFOAM-data", ["0", "100", "200", "282"]
+    )
+
+
+class TestDataset:
+    def test_reference_default_yields_three_samples(self, small_dataset):
+        """Quirk 2: t=0 (uniform ICs) excluded by default → 3 samples."""
+        assert small_dataset.time_dirs == ["100", "200", "282"]
+        assert small_dataset.targets.shape == (3, 12288, 7)
+
+    def test_include_uniform(self):
+        ds = load_dataset(
+            "/root/reference/OpenFOAM-data", ["0", "282"], include_uniform=True
+        )
+        assert ds.time_dirs == ["0", "282"]
+
+    def test_targets_normalized(self, small_dataset):
+        t = small_dataset.targets
+        mask = np.asarray(small_dataset.graph.node_mask)
+        real = t[:, mask, :]
+        # pooled stats across snapshots should be ~N(0,1) per channel
+        # (z-velocity is identically 0 → std floored, mean stays 0)
+        assert abs(real[..., 0].mean()) < 1e-6
+        assert abs(real[..., 3].mean()) < 1e-6
+        np.testing.assert_allclose(real.reshape(-1, 7)[:, 0].std(), 1.0, rtol=1e-5)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, small_dataset):
+        cfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN")
+        tcfg = TrainConfig(lr=1e-3, epochs=1)
+        model = FlowGNN(cfg)
+        graph = small_dataset.graph
+        state = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
+        step = make_train_step(model, tcfg)
+        targets = jnp.asarray(small_dataset.targets)
+        losses = []
+        rng = jax.random.PRNGKey(1)
+        for i in range(30):
+            rng, sk = jax.random.split(rng)
+            state, loss = step(
+                state, graph, targets, jnp.asarray(1e-3, jnp.float32), sk
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+    def test_pressure_freeze_masks_gradients(self, small_dataset):
+        cfg = ModelConfig(hidden_dim=16, num_layers=1, layer_type="GCN",
+                          dropout=0.0, use_batch_norm=False)
+        tcfg = TrainConfig(lr=1e-2)
+        model = FlowGNN(cfg)
+        graph = small_dataset.graph
+        state = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
+        step = make_train_step(model, tcfg)
+        targets = jnp.asarray(small_dataset.targets)
+        k0 = np.asarray(state.params["out_3"]["kernel"]).copy()
+        b0 = np.asarray(state.params["out_3"]["bias"]).copy()
+        state, _ = step(
+            state, graph, targets, jnp.asarray(1e-2, jnp.float32),
+            jax.random.PRNGKey(2), freeze_pressure=True,
+        )
+        k1 = np.asarray(state.params["out_3"]["kernel"])
+        b1 = np.asarray(state.params["out_3"]["bias"])
+        # pressure column untouched (weight decay contributes but is masked too)
+        np.testing.assert_allclose(k1[:, 3], k0[:, 3], atol=1e-12)
+        np.testing.assert_allclose(b1[3], b0[3], atol=1e-12)
+        # other columns moved
+        assert np.abs(k1[:, 0] - k0[:, 0]).max() > 1e-6
+
+
+class TestPlateauScheduler:
+    def test_reduces_after_patience(self):
+        sched = ReduceLROnPlateau(1.0, factor=0.5, patience=2, threshold=1e-4)
+        lrs = [sched.step(1.0) for _ in range(10)]
+        # first call sets best; 2 bad epochs tolerated, 3rd reduces
+        assert lrs[:3] == [1.0, 1.0, 1.0]
+        assert lrs[3] == 0.5
+        assert lrs[7] == 0.25
+
+    def test_improvement_resets(self):
+        sched = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
+        sched.step(1.0)
+        sched.step(0.99)  # > 1e-4 rel improvement → resets
+        sched.step(1.0)
+        sched.step(1.0)
+        assert sched.lr == 1.0
+        assert sched.step(1.0) == 0.5
+
+
+class TestTrainerEndToEnd:
+    def test_short_run_and_resume(self, small_dataset, tmp_path):
+        mcfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN")
+        tcfg = TrainConfig(lr=1e-3, epochs=2, save_every=1, batch_size=1)
+        tr = Trainer(small_dataset, mcfg, tcfg, output_dir=tmp_path, log_fn=lambda *a: None)
+        hist = tr.train()
+        assert hist["epoch"] == [1, 2]
+        assert (tmp_path / "best").exists()
+        assert (tmp_path / "epoch_2").exists()
+        hist_file = json.loads((tmp_path / "training_history.json").read_text())
+        assert set(hist_file) == {
+            "epoch", "train_loss", "val_loss", "field_errors", "learning_rate"
+        }
+        assert set(hist_file["field_errors"]) == {"U", "p", "k", "epsilon", "nut"}
+
+        # resume continues at epoch 3
+        tcfg2 = TrainConfig(lr=1e-3, epochs=3, save_every=1, batch_size=1)
+        tr2 = Trainer(small_dataset, mcfg, tcfg2, output_dir=tmp_path, log_fn=lambda *a: None)
+        tr2.initialize(resume=True)
+        assert tr2.start_epoch == 3
+        hist2 = tr2.train()
+        assert hist2["epoch"][-1] == 3
+
+    def test_predictor_round_trip(self, small_dataset, tmp_path):
+        from gnn_bfs_rans_tpu.infer import Predictor
+
+        mcfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN")
+        tcfg = TrainConfig(lr=1e-3, epochs=1, save_every=5)
+        tr = Trainer(small_dataset, mcfg, tcfg, output_dir=tmp_path, log_fn=lambda *a: None)
+        tr.train()
+        pred = Predictor.from_checkpoint(tmp_path, "best")
+        fields = pred.predict_fields(small_dataset.graph)
+        assert fields["U"].shape == (12225, 3)
+        assert fields["p"].shape == (12225, 1)
+        # denormalized predictions are in physical units (p std ≈ 4+)
+        assert np.isfinite(fields["U"]).all()
+        # forward through loaded params equals trainer's final params forward
+        packed_trained = tr.eval_step(tr.state, tr.graph, tr.targets)[2]
+        packed_loaded = pred.predict_packed(small_dataset.graph)
+        np.testing.assert_allclose(
+            np.asarray(packed_trained)[:12225], packed_loaded, rtol=1e-5, atol=1e-6
+        )
