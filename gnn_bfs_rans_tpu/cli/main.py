@@ -35,7 +35,8 @@ def cmd_train(args) -> int:
 
     print("Loading dataset...")
     dataset = load_dataset(
-        args.case_path, args.time_dirs, include_uniform=args.include_uniform
+        args.case_path, args.time_dirs, include_uniform=args.include_uniform,
+        with_band=(args.backend == "pallas"),
     )
     print(f"Loaded {dataset.n_snapshots} samples: {dataset.time_dirs}")
     dataset.normalizer.save(out_dir / "normalizer.json")
@@ -56,6 +57,7 @@ def cmd_train(args) -> int:
         curriculum_epochs=args.curriculum_epochs,
         save_every=args.save_every,
         seed=args.seed,
+        plateau_min_lr=args.min_lr,
     )
     trainer = Trainer(dataset, mcfg, tcfg, output_dir=out_dir)
     trainer.initialize(resume=args.resume)
@@ -276,6 +278,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every", type=int, default=10)
     p.add_argument("--pressure_ref_weight", type=float, default=0.1)
     p.add_argument("--curriculum_epochs", type=int, default=0)
+    p.add_argument("--min_lr", type=float, default=0.0,
+                   help="Floor for the plateau LR scheduler")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="dense",
                    choices=["segment", "dense", "pallas"])

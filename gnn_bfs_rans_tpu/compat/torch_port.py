@@ -1,0 +1,171 @@
+"""Port reference PyTorch FlowGNN checkpoints into this framework.
+
+The BASELINE north star requires reproducing the reference model's
+denormalized predictions within float tolerance given its weights.  This
+module maps a ``torch.save``'d checkpoint in the reference's format
+(``train.py:453-460``: dict with ``model_state_dict``, ``config``,
+``normalizer``) onto our flax parameter tree.
+
+State-dict naming (from ``gnn_model.py``):
+
+* ``input_proj.weight|bias``                → ``input_proj.kernel|bias``
+* ``gnn_layers.{i}.…`` per conv type:
+  - GCNConv:       ``lin.weight``, ``bias``
+  - GATConv:       ``lin.weight`` (or ``lin_src.weight`` in older PyG),
+                   ``att_src``, ``att_dst``, ``bias``
+  - GINConv:       ``nn.0.weight|bias``, ``nn.2.weight|bias``
+  - TransformerConv: ``lin_query|lin_key|lin_value|lin_skip.weight|bias``
+                   (+ ``lin_edge.weight`` when edge_dim is set)
+* ``batch_norms.{i}.module.weight|bias|running_mean|running_var``
+  (PyG BatchNorm wraps BatchNorm1d as ``module``) → ``bn_{i}`` params +
+  ``batch_stats``
+* ``output_proj.{0,3,6,8}.weight|bias``     → ``out_0..out_3``
+
+torch ``Linear.weight`` is ``[out, in]``; flax ``Dense.kernel`` is
+``[in, out]`` — transposed on the way in.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..models.flow_gnn import ModelConfig
+from ..train.normalization import FieldNormalizer
+
+
+def _t(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w, dtype=np.float32).T)
+
+
+def _a(w) -> np.ndarray:
+    return np.asarray(w, dtype=np.float32)
+
+
+def _get(sd: dict, *names: str):
+    for n in names:
+        if n in sd:
+            return sd[n]
+    raise KeyError(f"none of {names} in state dict (have {sorted(sd)[:8]}...)")
+
+
+def convert_state_dict(
+    state_dict: dict[str, Any], config: ModelConfig
+) -> tuple[dict, dict]:
+    """Torch state dict → (flax params, batch_stats)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict[str, Any] = {}
+    batch_stats: dict[str, Any] = {}
+
+    params["input_proj"] = {
+        "kernel": _t(sd["input_proj.weight"]),
+        "bias": _a(sd["input_proj.bias"]),
+    }
+
+    for i in range(config.num_layers):
+        p = f"gnn_layers.{i}."
+        layer_sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+        name = f"conv_{i}"
+        if config.layer_type == "GCN":
+            params[name] = {
+                "lin": {"kernel": _t(_get(layer_sd, "lin.weight"))},
+                "bias": _a(layer_sd["bias"]),
+            }
+        elif config.layer_type == "GAT":
+            lin_w = _get(layer_sd, "lin.weight", "lin_src.weight", "lin_l.weight")
+            params[name] = {
+                "lin": {"kernel": _t(lin_w)},
+                "att_src": _a(layer_sd["att_src"]),
+                "att_dst": _a(layer_sd["att_dst"]),
+                "bias": _a(layer_sd["bias"]),
+            }
+        elif config.layer_type == "GIN":
+            params[name] = {
+                "mlp_0": {
+                    "kernel": _t(layer_sd["nn.0.weight"]),
+                    "bias": _a(layer_sd["nn.0.bias"]),
+                },
+                "mlp_1": {
+                    "kernel": _t(layer_sd["nn.2.weight"]),
+                    "bias": _a(layer_sd["nn.2.bias"]),
+                },
+            }
+            if "eps" in layer_sd:
+                eps = _a(layer_sd["eps"]).reshape(())
+                if abs(float(eps)) > 0:
+                    params[name]["eps"] = eps
+        elif config.layer_type == "Transformer":
+            params[name] = {
+                "lin_query": {
+                    "kernel": _t(layer_sd["lin_query.weight"]),
+                    "bias": _a(layer_sd["lin_query.bias"]),
+                },
+                "lin_key": {
+                    "kernel": _t(layer_sd["lin_key.weight"]),
+                    "bias": _a(layer_sd["lin_key.bias"]),
+                },
+                "lin_value": {
+                    "kernel": _t(layer_sd["lin_value.weight"]),
+                    "bias": _a(layer_sd["lin_value.bias"]),
+                },
+                "lin_skip": {
+                    "kernel": _t(layer_sd["lin_skip.weight"]),
+                    "bias": _a(layer_sd["lin_skip.bias"]),
+                },
+            }
+            if "lin_edge.weight" in layer_sd:
+                params[name]["lin_edge"] = {
+                    "kernel": _t(layer_sd["lin_edge.weight"])
+                }
+        else:
+            raise ValueError(f"unknown layer type {config.layer_type}")
+
+        bnp = f"batch_norms.{i}."
+        bn_sd = {k[len(bnp):]: v for k, v in sd.items() if k.startswith(bnp)}
+        if bn_sd:
+            params[f"bn_{i}"] = {
+                "scale": _a(_get(bn_sd, "module.weight", "weight")),
+                "bias": _a(_get(bn_sd, "module.bias", "bias")),
+            }
+            batch_stats[f"bn_{i}"] = {
+                "mean": _a(_get(bn_sd, "module.running_mean", "running_mean")),
+                "var": _a(_get(bn_sd, "module.running_var", "running_var")),
+            }
+
+    # output MLP: Sequential indices 0, 3, 6, 8 are the Linear layers
+    for out_name, idx in (("out_0", 0), ("out_1", 3), ("out_2", 6), ("out_3", 8)):
+        params[out_name] = {
+            "kernel": _t(sd[f"output_proj.{idx}.weight"]),
+            "bias": _a(sd[f"output_proj.{idx}.bias"]),
+        }
+
+    return params, batch_stats
+
+
+def load_torch_checkpoint(path: str) -> tuple[dict, dict, ModelConfig, FieldNormalizer | None]:
+    """Load a reference ``.pt`` checkpoint → (params, batch_stats, config, normalizer).
+
+    Mirrors the reference loader's config-driven reconstruction
+    (``inference.py:20-59``) without needing torch_geometric.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    cfg_dict = ckpt.get("config", {})
+    config = ModelConfig(
+        hidden_dim=int(cfg_dict.get("hidden_dim", 256)),
+        num_layers=int(cfg_dict.get("num_layers", 6)),
+        layer_type=cfg_dict.get("layer_type", "GCN"),
+        dropout=0.0,
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in ckpt["model_state_dict"].items()}
+    params, batch_stats = convert_state_dict(sd, config)
+
+    normalizer = None
+    norm_data = ckpt.get("normalizer")
+    if norm_data:
+        normalizer = FieldNormalizer()
+        normalizer.field_stats = norm_data.get("field_stats", {})
+        normalizer.scalers = norm_data.get("scalers", {})
+    return params, batch_stats, config, normalizer

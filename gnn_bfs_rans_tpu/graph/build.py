@@ -14,6 +14,7 @@ invariants the reference could only patch up at runtime.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..foam.reader import FoamMesh
@@ -62,15 +63,36 @@ def build_graph(
     boundary_self_loops: bool = False,
     node_align: int = 128,
     edge_align: int = 128,
+    reorder: str = "rcm",
+    with_band: bool = False,
 ) -> Graph:
     """Build the canonical padded :class:`Graph` for a mesh.
 
-    Node features are the raw cell-center coordinates (the model's only
-    geometric input, as in the reference: ``train.py:104-108``).
+    Node features are the cell-center coordinates (the model's only geometric
+    input, as in the reference: ``train.py:104-108``).  With ``reorder='rcm'``
+    nodes are relabeled to minimize index bandwidth (results are identical —
+    message passing is permutation-equivariant — and the permutation is
+    carried in ``graph.perm`` for target loading / writeback).  When the
+    reordered graph is band-limited, ``graph.band`` holds the block-banded
+    adjacency that the Pallas kernels consume.
     """
+    import dataclasses as _dc
+
     senders, receivers = build_edges(mesh, boundary_self_loops)
-    edge_feat = compute_edge_features(mesh.cell_centers, senders, receivers)
     node_feat = mesh.cell_centers.astype(np.float32)
+    n_nodes = node_feat.shape[0]
+
+    perm = None
+    if reorder == "rcm":
+        from .reorder import apply_permutation, rcm_permutation
+
+        perm = rcm_permutation(senders, receivers, n_nodes)
+        _, senders, receivers = apply_permutation(perm, senders, receivers)
+        node_feat = node_feat[perm]
+    elif reorder not in (None, "none"):
+        raise ValueError(f"unknown reorder {reorder!r}")
+
+    edge_feat = compute_edge_features(node_feat.astype(np.float64), senders, receivers)
     graph = build_padded_graph(
         senders,
         receivers,
@@ -80,6 +102,25 @@ def build_graph(
         edge_align=edge_align,
     )
     validate_graph(graph, senders, receivers)
+
+    if perm is not None:
+        perm_pad = np.arange(graph.n_pad, dtype=np.int32)
+        perm_pad[:n_nodes] = perm
+        graph = _dc.replace(graph, perm=perm_pad)
+
+    if with_band:
+        from .band import build_band
+
+        band = build_band(
+            np.asarray(graph.senders)[: graph.n_edges],
+            np.asarray(graph.receivers)[: graph.n_edges],
+            graph.n_pad,
+            np.asarray(graph.node_mask),
+            np.asarray(graph.in_degree),
+            tile=node_align,
+        )
+        if band is not None:
+            graph = _dc.replace(graph, band=band)
     return graph
 
 

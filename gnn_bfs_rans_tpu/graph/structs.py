@@ -60,6 +60,12 @@ class Graph:
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
 
+    # Optional: node permutation (new index → original cell id) when the
+    # graph was bandwidth-reordered (graph.reorder), and the banded adjacency
+    # blocks for the Pallas MXU kernels (graph.band).
+    perm: jax.Array | None = None          # [N_pad] int32
+    band: "object | None" = None           # graph.band.Band
+
     @property
     def n_pad(self) -> int:
         return self.node_feat.shape[0]
@@ -77,6 +83,7 @@ class Graph:
             f.name: getattr(self, f.name)
             for f in dataclasses.fields(self)
             if f.name not in ("n_nodes", "n_edges")
+            and getattr(self, f.name) is not None
         }
         put = {
             k: (jax.device_put(v, sharding) if sharding is not None else jax.device_put(v))
@@ -141,17 +148,20 @@ def build_padded_graph(
         nbr_mask[receivers, slot] = True
         nbr_edge[receivers, slot] = np.arange(n_edges, dtype=np.int32)
 
+    # Leaves stay host-side numpy: construction never round-trips through the
+    # accelerator (important when the device is behind a network tunnel);
+    # `to_device()` uploads once, and jit auto-transfers if callers skip it.
     return Graph(
-        node_feat=jnp.asarray(node_feat_p),
-        senders=jnp.asarray(senders_p),
-        receivers=jnp.asarray(receivers_p),
-        edge_feat=jnp.asarray(edge_feat_p),
-        node_mask=jnp.asarray(node_mask),
-        edge_mask=jnp.asarray(edge_mask),
-        in_degree=jnp.asarray(deg),
-        nbr_idx=jnp.asarray(nbr_idx),
-        nbr_mask=jnp.asarray(nbr_mask),
-        nbr_edge=jnp.asarray(nbr_edge),
+        node_feat=node_feat_p,
+        senders=senders_p,
+        receivers=receivers_p,
+        edge_feat=edge_feat_p,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        in_degree=deg,
+        nbr_idx=nbr_idx,
+        nbr_mask=nbr_mask,
+        nbr_edge=nbr_edge,
         n_nodes=n_nodes,
         n_edges=n_edges,
     )

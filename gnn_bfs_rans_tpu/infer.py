@@ -63,9 +63,20 @@ class Predictor:
         self._forward = make_forward(self.model)
 
     def predict_packed(self, graph: Graph) -> np.ndarray:
-        """Normalized model output on real nodes, [n_nodes, 7]."""
-        out = self._forward(self.params, self.batch_stats, graph)
-        return np.asarray(out)[: graph.n_nodes]
+        """Normalized model output in ORIGINAL cell order, [n_nodes, 7].
+
+        If the graph is bandwidth-reordered (``graph.perm``), rows are
+        un-permuted back to the mesh's cell numbering so downstream I/O and
+        comparisons line up (SURVEY.md §7 writeback-ordering requirement).
+        """
+        out = np.asarray(self._forward(self.params, self.batch_stats, graph))
+        out = out[: graph.n_nodes]
+        if graph.perm is not None:
+            perm = np.asarray(graph.perm)[: graph.n_nodes]
+            orig = np.empty_like(out)
+            orig[perm] = out
+            out = orig
+        return out
 
     def predict_fields(
         self, graph: Graph, denormalize: bool = True

@@ -61,6 +61,13 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
         h = _lecun_linear(self.features, use_bias=False, name="lin")(x)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if self.backend == "pallas" and graph.band is not None:
+            # band.gcn already carries D̂^-1/2 (A+I) D̂^-1/2 incl. self-loops
+            from ..kernels.banded import banded_spmm
+            return banded_spmm(graph.band.gcn, h) + bias
+
         deg_hat = graph.in_degree + 1.0  # self-loop counted
         inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg_hat, 1.0))
         inv_sqrt = jnp.where(graph.node_mask, inv_sqrt, 0.0)
@@ -71,20 +78,15 @@ class GCNConv(nn.Module):
                 h, graph.senders, graph.receivers, graph.n_pad,
                 edge_mask=graph.edge_mask, edge_weight=w,
             )
-        elif self.backend in ("dense", "pallas"):
+        elif self.backend in ("dense", "pallas"):  # pallas w/o band → dense
             # coeff[i, d] = 1/sqrt(deĝ_i deĝ_{nbr[i,d]})
             coeff = inv_sqrt[:, None] * inv_sqrt[graph.nbr_idx]
-            if self.backend == "pallas":
-                from ..kernels.aggregate import gcn_gather_sum
-                agg = gcn_gather_sum(h, graph.nbr_idx, graph.nbr_mask, coeff)
-            else:
-                agg = dops.masked_sum(h, graph.nbr_idx, graph.nbr_mask, coeff)
+            agg = dops.masked_sum(h, graph.nbr_idx, graph.nbr_mask, coeff)
         else:
             raise ValueError(f"unknown backend {self.backend!r}")
 
         # self-loop contribution: 1/deĝ_i
         agg = agg + h * (inv_sqrt * inv_sqrt)[:, None]
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return agg + bias
 
 
@@ -118,7 +120,24 @@ class GATConv(nn.Module):
         def leaky(v):
             return jax.nn.leaky_relu(v, self.negative_slope)
 
-        if self.backend == "segment":
+        use_pallas = (
+            self.backend == "pallas"
+            and graph.band is not None
+            and (deterministic or self.dropout == 0)
+            # fused kernel has no attention-dropout; falls back to dense
+        )
+        if use_pallas:
+            from ..kernels.banded import banded_gat
+
+            out = banded_gat(
+                graph.band.bias_self,
+                z.reshape(-1, H * C),
+                alpha_src,
+                alpha_dst,
+                H,
+                self.negative_slope,
+            ).reshape(-1, H, C)
+        elif self.backend == "segment":
             # self-loops appended virtually: include (i, i) logits via concat
             e_logit = leaky(alpha_src[graph.senders] + alpha_dst[graph.receivers])
             self_logit = leaky(alpha_src + alpha_dst)  # [N, H]
@@ -197,16 +216,13 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
-        if self.backend == "segment":
+        if self.backend == "pallas" and graph.band is not None:
+            from ..kernels.banded import banded_spmm
+            agg = banded_spmm(graph.band.adj, x)
+        elif self.backend == "segment":
             agg = sops.aggregate_sum(
                 x, graph.senders, graph.receivers, graph.n_pad,
                 edge_mask=graph.edge_mask,
-            )
-        elif self.backend == "pallas":
-            from ..kernels.aggregate import gcn_gather_sum
-            agg = gcn_gather_sum(
-                x, graph.nbr_idx, graph.nbr_mask,
-                graph.nbr_mask.astype(x.dtype),
             )
         else:
             agg = dops.masked_sum(x, graph.nbr_idx, graph.nbr_mask)
@@ -251,7 +267,23 @@ class TransformerConv(nn.Module):
                 graph.edge_feat
             ).reshape(-1, H, C)
 
-        if self.backend == "segment":
+        use_pallas = (
+            self.backend == "pallas"
+            and graph.band is not None
+            and edge_kv is None  # band layout carries no per-edge embeddings
+            and (deterministic or self.dropout == 0)
+        )
+        if use_pallas:
+            from ..kernels.banded import banded_transformer
+
+            out = banded_transformer(
+                graph.band.bias_noself,
+                q.reshape(-1, H * C),
+                k.reshape(-1, H * C),
+                v.reshape(-1, H * C),
+                H,
+            ).reshape(-1, H, C)
+        elif self.backend == "segment":
             k_e = k[graph.senders]
             v_e = v[graph.senders]
             if edge_kv is not None:

@@ -54,6 +54,7 @@ def load_dataset(
     normalizer: FieldNormalizer | None = None,
     node_align: int = 128,
     edge_align: int = 128,
+    with_band: bool = False,
 ) -> FlowDataset:
     """Load an OpenFOAM case into a device-ready dataset.
 
@@ -62,7 +63,7 @@ def load_dataset(
     """
     case = FoamCase(case_path)
     mesh = case.load_mesh()
-    graph = build_graph(mesh, node_align=node_align, edge_align=edge_align)
+    graph = build_graph(mesh, node_align=node_align, edge_align=edge_align, with_band=with_band)
 
     if time_dirs is None:
         time_dirs = case.available_time_dirs()
@@ -95,11 +96,17 @@ def load_dataset(
         }
         normalizer = FieldNormalizer().fit(concat)
 
-    # Pass 2: normalize + pack into padded targets.
+    # Pass 2: normalize + pack into padded targets (in the graph's node
+    # order — if the graph was bandwidth-reordered, targets follow perm).
     n_pad = graph.n_pad
+    perm_host = (
+        np.asarray(graph.perm)[: graph.n_nodes] if graph.perm is not None else None
+    )
     targets = np.zeros((len(usable), n_pad, 7), dtype=np.float32)
     for i, (_, f) in enumerate(usable):
         packed = pack_targets(normalizer.transform(f))
+        if perm_host is not None:
+            packed = packed[perm_host]
         targets[i, : packed.shape[0]] = packed
 
     return FlowDataset(

@@ -61,6 +61,9 @@ class TrainConfig:
     plateau_factor: float = 0.5
     plateau_patience: int = 10
     plateau_threshold: float = 1e-4
+    # torch default is 0 (parity); set >0 for long runs — unbounded decay
+    # drives lr to ~1e-50 over thousands of plateaued epochs.
+    plateau_min_lr: float = 0.0
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -88,6 +88,7 @@ class Trainer:
             factor=train_config.plateau_factor,
             patience=train_config.plateau_patience,
             threshold=train_config.plateau_threshold,
+            min_lr=train_config.plateau_min_lr,
         )
         self.best_val = float("inf")
 

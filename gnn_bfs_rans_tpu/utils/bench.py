@@ -52,7 +52,7 @@ def run_benchmark(
     from ..train import TrainConfig, load_dataset
     from ..train.loop import init_state, make_forward, make_train_step
 
-    dataset = load_dataset(case_path)
+    dataset = load_dataset(case_path, with_band=(backend == "pallas"))
     graph = dataset.graph.to_device()
     targets = jnp.asarray(dataset.targets)
 

@@ -146,8 +146,16 @@ class TestTrainerEndToEnd:
         # denormalized predictions are in physical units (p std ≈ 4+)
         assert np.isfinite(fields["U"]).all()
         # forward through loaded params equals trainer's final params forward
-        packed_trained = tr.eval_step(tr.state, tr.graph, tr.targets)[2]
+        # (trainer output is in graph/RCM order; predictor un-permutes)
+        packed_trained = np.asarray(
+            tr.eval_step(tr.state, tr.graph, tr.targets)[2]
+        )[:12225]
+        g = small_dataset.graph
+        if g.perm is not None:
+            unperm = np.empty_like(packed_trained)
+            unperm[np.asarray(g.perm)[:12225]] = packed_trained
+            packed_trained = unperm
         packed_loaded = pred.predict_packed(small_dataset.graph)
         np.testing.assert_allclose(
-            np.asarray(packed_trained)[:12225], packed_loaded, rtol=1e-5, atol=1e-6
+            packed_trained, packed_loaded, rtol=1e-5, atol=1e-6
         )
