@@ -137,5 +137,11 @@ def parse_face_list_fast(body: str) -> tuple[np.ndarray, np.ndarray]:
         if np.all(block[:, 0] == k0):
             offsets = np.arange(n_faces + 1, dtype=np.int32) * k0
             return offsets, block[:, 1:].reshape(-1).astype(np.int32)
-    # Mixed-size fallback: scalar cursor walk.
+    # Mixed-size: native C++ walk, then pure-Python fallback.
+    from .. import native
+
+    max_points = int(flat.size)  # tokens bound the point count
+    result = native.parse_faces(body[start:], n_faces, max_points)
+    if result is not None:
+        return result
     return parse_face_list(body)

@@ -8,6 +8,14 @@ from .data_parallel import (
     replicate,
     shard_targets,
 )
+from .multicase import (
+    CaseBatch,
+    gather_case_predictions,
+    make_multicase_forward,
+    make_multicase_train_step,
+    make_perturbed_cases,
+    shard_cases,
+)
 
 __all__ = [
     "make_data_mesh",
@@ -16,4 +24,10 @@ __all__ = [
     "shard_targets",
     "replicate",
     "gather_predictions",
+    "CaseBatch",
+    "make_perturbed_cases",
+    "shard_cases",
+    "make_multicase_train_step",
+    "make_multicase_forward",
+    "gather_case_predictions",
 ]
