@@ -47,6 +47,7 @@ def cmd_train(args) -> int:
         layer_type=args.layer_type,
         dropout=args.dropout,
         backend=args.backend,
+        compute_dtype=args.compute_dtype,
     )
     tcfg = TrainConfig(
         lr=args.lr,
@@ -58,6 +59,7 @@ def cmd_train(args) -> int:
         save_every=args.save_every,
         seed=args.seed,
         plateau_min_lr=args.min_lr,
+        scheduler=args.scheduler,
     )
     trainer = Trainer(dataset, mcfg, tcfg, output_dir=out_dir)
     trainer.initialize(resume=args.resume)
@@ -249,6 +251,7 @@ def cmd_bench(args) -> int:
         backend=args.backend,
         steps=args.steps,
         mode=args.mode,
+        compute_dtype=args.compute_dtype,
     )
     print(json.dumps(result))
     return 0
@@ -279,10 +282,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pressure_ref_weight", type=float, default=0.1)
     p.add_argument("--curriculum_epochs", type=int, default=0)
     p.add_argument("--min_lr", type=float, default=0.0,
-                   help="Floor for the plateau LR scheduler")
+                   help="Floor for the LR schedule")
+    p.add_argument("--scheduler", type=str, default="plateau",
+                   choices=["plateau", "cosine"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="dense",
                    choices=["segment", "dense", "pallas"])
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--include_uniform", action="store_true",
                    help="Keep uniform (initial-condition) snapshots")
     p.add_argument("--resume", action="store_true",
@@ -343,6 +350,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_layers", type=int, default=4)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--backend", type=str, default="dense")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--mode", type=str, default="forward",
                    choices=["forward", "train"])

@@ -28,7 +28,7 @@ fused Mosaic kernels from :mod:`gnn_bfs_rans_tpu.kernels` where profitable.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +41,24 @@ from ..ops import segment as sops
 Backend = str  # 'segment' | 'dense' | 'pallas'
 
 
-def _lecun_linear(features: int, use_bias: bool = True, name: str | None = None):
-    """Linear layer with torch-style (Kaiming-uniform) init for parity of scale."""
+def _lecun_linear(
+    features: int,
+    use_bias: bool = True,
+    name: str | None = None,
+    dtype=None,
+):
+    """Linear layer with torch-style (Kaiming-uniform) init for parity of scale.
+
+    ``dtype`` is the computation dtype (params stay float32): pass
+    ``jnp.bfloat16`` to run the matmul on the MXU's native precision.
+    """
     return nn.Dense(
         features,
         use_bias=use_bias,
         kernel_init=nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
         name=name,
     )
 
@@ -57,10 +68,11 @@ class GCNConv(nn.Module):
 
     features: int
     backend: Backend = "dense"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
-        h = _lecun_linear(self.features, use_bias=False, name="lin")(x)
+        h = _lecun_linear(self.features, use_bias=False, name="lin", dtype=self.dtype)(x)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         if self.backend == "pallas" and graph.band is not None:
@@ -99,13 +111,14 @@ class GATConv(nn.Module):
     negative_slope: float = 0.2
     dropout: float = 0.0
     backend: Backend = "dense"
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, x: jax.Array, graph: Graph, deterministic: bool = True
     ) -> jax.Array:
         H, C = self.heads, self.features
-        z = _lecun_linear(H * C, use_bias=False, name="lin")(x).reshape(-1, H, C)
+        z = _lecun_linear(H * C, use_bias=False, name="lin", dtype=self.dtype)(x).reshape(-1, H, C)
         att_src = self.param(
             "att_src", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (1, H, C),
@@ -213,6 +226,7 @@ class GINConv(nn.Module):
     features: int
     train_eps: bool = False
     backend: Backend = "dense"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
@@ -231,9 +245,9 @@ class GINConv(nn.Module):
         else:
             eps = 0.0
         h = (1.0 + eps) * x + agg
-        h = _lecun_linear(self.features, name="mlp_0")(h)
+        h = _lecun_linear(self.features, name="mlp_0", dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = _lecun_linear(self.features, name="mlp_1")(h)
+        h = _lecun_linear(self.features, name="mlp_1", dtype=self.dtype)(h)
         return h
 
 
@@ -247,6 +261,7 @@ class TransformerConv(nn.Module):
     edge_dim: int | None = None
     root_weight: bool = True
     backend: Backend = "dense"
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -256,14 +271,15 @@ class TransformerConv(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         H, C = self.heads, self.features
-        q = _lecun_linear(H * C, name="lin_query")(x).reshape(-1, H, C)
-        k = _lecun_linear(H * C, name="lin_key")(x).reshape(-1, H, C)
-        v = _lecun_linear(H * C, name="lin_value")(x).reshape(-1, H, C)
+        q = _lecun_linear(H * C, name="lin_query", dtype=self.dtype)(x).reshape(-1, H, C)
+        k = _lecun_linear(H * C, name="lin_key", dtype=self.dtype)(x).reshape(-1, H, C)
+        v = _lecun_linear(H * C, name="lin_value", dtype=self.dtype)(x).reshape(-1, H, C)
         scale = 1.0 / jnp.sqrt(jnp.asarray(C, x.dtype))
 
         edge_kv = None
         if self.edge_dim is not None:
-            edge_kv = _lecun_linear(H * C, use_bias=False, name="lin_edge")(
+            edge_kv = _lecun_linear(H * C, use_bias=False, name="lin_edge",
+                                    dtype=self.dtype)(
                 graph.edge_feat
             ).reshape(-1, H, C)
 
@@ -321,7 +337,7 @@ class TransformerConv(nn.Module):
             out = out.mean(axis=1)
         if self.root_weight:
             skip = _lecun_linear(
-                H * C if self.concat else C, name="lin_skip"
+                H * C if self.concat else C, name="lin_skip", dtype=self.dtype
             )(x)
             out = out + skip
         return out

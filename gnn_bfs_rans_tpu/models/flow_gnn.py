@@ -51,6 +51,7 @@ class ModelConfig:
     use_batch_norm: bool = True
     use_edge_attr: bool = True   # feeds edge features to Transformer conv
     backend: str = "dense"       # segment | dense | pallas
+    compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
@@ -69,13 +70,15 @@ class FlowGNN(nn.Module):
         self, graph: Graph, train: bool = False
     ) -> jax.Array:
         cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         x = graph.node_feat
-        x = _lecun_linear(cfg.hidden_dim, name="input_proj")(x)
+        x = _lecun_linear(cfg.hidden_dim, name="input_proj", dtype=dtype)(x)
 
         conv_cls = CONV_REGISTRY[cfg.layer_type]
         for i in range(cfg.num_layers):
             kwargs: dict[str, Any] = dict(
-                features=cfg.hidden_dim, backend=cfg.backend, name=f"conv_{i}"
+                features=cfg.hidden_dim, backend=cfg.backend, name=f"conv_{i}",
+                dtype=dtype,
             )
             call_kwargs: dict[str, Any] = {}
             if cfg.layer_type == "GAT":
@@ -94,24 +97,31 @@ class FlowGNN(nn.Module):
 
             x = x + x_new  # residual (gnn_model.py:184)
             if cfg.use_batch_norm:
+                # normalization statistics always accumulate in float32
                 x = MaskedBatchNorm(cfg.hidden_dim, name=f"bn_{i}")(
-                    x, graph.node_mask, use_running_average=not train
+                    x.astype(jnp.float32), graph.node_mask,
+                    use_running_average=not train,
                 )
+                if dtype is not None:
+                    x = x.astype(dtype)
             x = nn.relu(x)
             x = nn.Dropout(cfg.dropout, name=f"drop_{i}")(
                 x, deterministic=not train
             )
 
         # Output MLP: H→H→H→H/2→out with ReLU+dropout (gnn_model.py:90-100).
-        h = _lecun_linear(cfg.hidden_dim, name="out_0")(x)
+        h = _lecun_linear(cfg.hidden_dim, name="out_0", dtype=dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(cfg.dropout, name="out_drop_0")(h, deterministic=not train)
-        h = _lecun_linear(cfg.hidden_dim, name="out_1")(h)
+        h = _lecun_linear(cfg.hidden_dim, name="out_1", dtype=dtype)(h)
         h = nn.relu(h)
         h = nn.Dropout(cfg.dropout, name="out_drop_1")(h, deterministic=not train)
-        h = _lecun_linear(cfg.hidden_dim // 2, name="out_2")(h)
+        h = _lecun_linear(cfg.hidden_dim // 2, name="out_2", dtype=dtype)(h)
         h = nn.relu(h)
-        out = _lecun_linear(cfg.output_dim, name="out_3")(h)
+        # final head always emits float32 (loss/metrics precision)
+        out = _lecun_linear(cfg.output_dim, name="out_3")(
+            h.astype(jnp.float32) if dtype is not None else h
+        )
         return out
 
 

@@ -46,6 +46,8 @@ def masked_softmax(
         mask = nbr_mask[:, :, None]
     else:
         mask = nbr_mask
+    # softmax runs in float32 regardless of the compute dtype
+    logits = logits.astype(jnp.float32)
     neg = jnp.asarray(-1e30, logits.dtype)
     masked = jnp.where(mask, logits, neg)
     m = jnp.max(masked, axis=axis, keepdims=True)

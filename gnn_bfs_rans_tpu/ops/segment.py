@@ -64,6 +64,7 @@ def edge_softmax(
     ``logits``: [E] or [E, H] (multi-head).  Returns attention weights with the
     same shape; padded edges get weight 0.
     """
+    logits = logits.astype(jnp.float32)  # stable softmax in f32
     seg_max = segment_max_to_nodes(logits, receivers, num_nodes, edge_mask)
     seg_max = jnp.maximum(seg_max, -1e30)  # empty segments
     shifted = logits - jnp.take(seg_max, receivers, axis=0)

@@ -64,6 +64,9 @@ class TrainConfig:
     # torch default is 0 (parity); set >0 for long runs — unbounded decay
     # drives lr to ~1e-50 over thousands of plateaued epochs.
     plateau_min_lr: float = 0.0
+    # 'plateau' (reference parity) or 'cosine' (better for long single-case
+    # overfitting runs where the eval loss lags BN running stats)
+    scheduler: str = "plateau"
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -137,6 +137,13 @@ class Trainer:
                         f"Curriculum phase 2: unfreezing pressure, lr → {lr:.3e}"
                     )
 
+            if cfg.scheduler == "cosine":
+                import math
+
+                lr = cfg.plateau_min_lr + 0.5 * (cfg.lr - cfg.plateau_min_lr) * (
+                    1 + math.cos(math.pi * (epoch - 1) / max(cfg.epochs - 1, 1))
+                )
+
             t0 = time.perf_counter()
             losses = []
             for batch_idx in iterate_batches(n, cfg.batch_size, self.np_rng):
@@ -157,7 +164,8 @@ class Trainer:
             )
             val_loss = float(val_loss)
             lr_used = lr
-            lr = self.scheduler.step(val_loss)
+            if cfg.scheduler == "plateau":
+                lr = self.scheduler.step(val_loss)
 
             detailed = epoch % 10 == 0
             self.history["epoch"].append(epoch)

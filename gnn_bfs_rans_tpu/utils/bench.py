@@ -46,6 +46,7 @@ def run_benchmark(
     steps: int = 50,
     mode: str = "forward",
     baseline_msgs_per_sec: float = 1e8,
+    compute_dtype: str = "float32",
 ) -> dict:
     """Benchmark a model config on the BFS mesh; returns a JSON-able dict."""
     from ..models.flow_gnn import FlowGNN, ModelConfig
@@ -62,6 +63,7 @@ def run_benchmark(
         layer_type=layer_type,
         backend=backend,
         dropout=0.0 if mode == "forward" else 0.1,
+        compute_dtype=compute_dtype,
     )
     tcfg = TrainConfig()
     model = FlowGNN(mcfg)
@@ -114,6 +116,7 @@ def run_benchmark(
         "num_layers": num_layers,
         "hidden_dim": hidden_dim,
         "backend": backend,
+        "compute_dtype": compute_dtype,
         "n_edges": graph.n_edges,
         "n_nodes": graph.n_nodes,
         "step_median_s": stats["median_s"],

@@ -1,0 +1,105 @@
+"""Synthetic structured-mesh graphs for scale benchmarking.
+
+The bundled BFS case (12k cells) is dispatch-latency-bound on a modern TPU;
+these generators build arbitrarily large quad-grid "meshes" (the same
+4-neighbor topology a 2D CFD mesh has) to measure the compute-bound regime —
+the reference claims ~10k–100k cells single-device capacity
+(``THEORY_AND_METHODS.md:508``); this framework targets millions.
+
+Grid cells are numbered row-major with ``nx`` columns, so the adjacency is
+already banded with bandwidth ``nx`` — choose ``nx < tile`` (default 96) and
+the banded Pallas kernels apply without reordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.band import build_band
+from ..graph.structs import Graph, build_padded_graph
+
+
+def build_grid_graph(
+    nx: int, ny: int, with_band: bool = True, tile: int = 128
+) -> Graph:
+    """A quad-grid graph of ``nx × ny`` cells with 4-neighbor adjacency."""
+    import dataclasses
+
+    n = nx * ny
+    idx = np.arange(n).reshape(ny, nx)
+    right = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()])
+    up = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()])
+    und = np.concatenate([right, up], axis=1)
+    senders = np.concatenate([und[0], und[1]]).astype(np.int32)
+    receivers = np.concatenate([und[1], und[0]]).astype(np.int32)
+
+    xs = (np.arange(nx) + 0.5) / nx
+    ys = (np.arange(ny) + 0.5) / ny
+    coords = np.stack(
+        [np.tile(xs, ny), np.repeat(ys, nx), np.zeros(n)], axis=1
+    ).astype(np.float32)
+    direction = coords[receivers] - coords[senders]
+    dist = np.linalg.norm(direction, axis=1, keepdims=True)
+    unit = direction / np.maximum(dist, 1e-12)
+    edge_feat = np.concatenate([unit, dist], axis=1).astype(np.float32)
+
+    graph = build_padded_graph(
+        senders, receivers, edge_feat, coords,
+        node_align=tile, edge_align=tile,
+    )
+    if with_band and nx < tile:
+        band = build_band(
+            np.asarray(graph.senders)[: graph.n_edges],
+            np.asarray(graph.receivers)[: graph.n_edges],
+            graph.n_pad,
+            np.asarray(graph.node_mask),
+            np.asarray(graph.in_degree),
+            tile=tile,
+        )
+        if band is not None:
+            graph = dataclasses.replace(graph, band=band)
+    return graph
+
+
+def run_scale_benchmark(
+    n_nodes: int = 1_000_000,
+    layer_type: str = "GAT",
+    num_layers: int = 4,
+    hidden_dim: int = 128,
+    backend: str = "dense",
+    compute_dtype: str = "float32",
+    steps: int = 20,
+    nx: int = 96,
+) -> dict:
+    """Forward benchmark on a synthetic grid of ~n_nodes cells."""
+    import jax
+
+    from ..models.flow_gnn import FlowGNN, ModelConfig
+    from ..train.loop import TrainConfig, init_state, make_forward
+    from .bench import time_fn
+
+    ny = max(n_nodes // nx, 1)
+    graph = build_grid_graph(nx, ny, with_band=(backend == "pallas")).to_device()
+    mcfg = ModelConfig(
+        hidden_dim=hidden_dim, num_layers=num_layers, layer_type=layer_type,
+        backend=backend, dropout=0.0, compute_dtype=compute_dtype,
+    )
+    model = FlowGNN(mcfg)
+    state = init_state(model, graph, TrainConfig(), jax.random.PRNGKey(0))
+    forward = make_forward(model)
+    stats = time_fn(forward, state.params, state.batch_stats, graph, steps=steps)
+    msgs = num_layers * graph.n_edges
+    return {
+        "metric": "edge_messages_per_sec_per_chip",
+        "value": msgs / stats["median_s"],
+        "unit": "msgs/s",
+        "n_nodes": graph.n_nodes,
+        "n_edges": graph.n_edges,
+        "layer_type": layer_type,
+        "backend": backend,
+        "compute_dtype": compute_dtype,
+        "hidden_dim": hidden_dim,
+        "num_layers": num_layers,
+        "step_median_s": stats["median_s"],
+        "platform": jax.devices()[0].platform,
+    }
