@@ -23,6 +23,9 @@ class MaskedBatchNorm(nn.Module):
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    # when set, masked sums/counts are psum'd over this mesh axis — exact
+    # distributed ("sync") BN for node-sharded forwards (parallel.partition)
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -42,8 +45,15 @@ class MaskedBatchNorm(nn.Module):
         else:
             m = mask.astype(x.dtype)[:, None]
             count = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0) / count
-            var = jnp.sum(((x - mean) ** 2) * m, axis=0) / count  # biased
+            total = jnp.sum(x * m, axis=0)
+            if self.axis_name is not None:
+                count = jax.lax.psum(count, self.axis_name)
+                total = jax.lax.psum(total, self.axis_name)
+            mean = total / count
+            sq = jnp.sum(((x - mean) ** 2) * m, axis=0)
+            if self.axis_name is not None:
+                sq = jax.lax.psum(sq, self.axis_name)
+            var = sq / count  # biased
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (

@@ -8,6 +8,13 @@ from .data_parallel import (
     replicate,
     shard_targets,
 )
+from .partition import (
+    PartitionedGraph,
+    build_partition,
+    gather_partitioned,
+    make_partitioned_forward,
+    shard_partition,
+)
 from .multicase import (
     CaseBatch,
     gather_case_predictions,
@@ -30,4 +37,9 @@ __all__ = [
     "make_multicase_train_step",
     "make_multicase_forward",
     "gather_case_predictions",
+    "PartitionedGraph",
+    "build_partition",
+    "shard_partition",
+    "make_partitioned_forward",
+    "gather_partitioned",
 ]
