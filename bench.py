@@ -2,7 +2,9 @@
 """Driver benchmark entry: prints ONE JSON line with the headline metric.
 
 Metric: edge-messages/sec/chip for a 4-layer GAT forward on the BFS mesh
-(48,340-edge graph), vs the BASELINE.json north-star target of 1e8.
+(48,340-edge graph) with the fused banded Pallas attention kernels in
+bfloat16, vs the BASELINE.json north-star target of 1e8.  Timed as chained
+marginal device latency (see utils/bench.py) — queue-depth-honest.
 Runs on whatever accelerator jax selects (TPU under axon; CPU otherwise).
 """
 
@@ -18,8 +20,8 @@ def main() -> int:
         layer_type="GAT",
         num_layers=4,
         hidden_dim=256,
-        backend="dense",
-        steps=50,
+        backend="pallas",
+        compute_dtype="bfloat16",
         mode="forward",
     )
     line = {
@@ -31,7 +33,8 @@ def main() -> int:
             k: result[k]
             for k in (
                 "mode", "layer_type", "num_layers", "hidden_dim", "backend",
-                "n_edges", "step_median_s", "steps_per_sec", "platform",
+                "compute_dtype", "n_edges", "step_median_s", "steps_per_sec",
+                "platform", "timing",
             )
         },
     }

@@ -186,6 +186,18 @@ class Trainer:
                 f"lr={lr_used:.3e} ({dt:.2f}s)"
             )
 
+            # structured per-epoch metrics (SURVEY.md §5 observability plan)
+            with open(self.output_dir / "metrics.jsonl", "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "val_loss": val_loss,
+                    "lr": lr_used,
+                    "epoch_seconds": dt,
+                    **({f"err_{k}": float(errors[k]) for k in FIELDS}
+                       if detailed else {}),
+                }) + "\n")
+
             extra = {
                 "best_val": min(self.best_val, val_loss),
                 "lr": lr,

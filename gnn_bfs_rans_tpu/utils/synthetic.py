@@ -75,8 +75,8 @@ def run_scale_benchmark(
     import jax
 
     from ..models.flow_gnn import FlowGNN, ModelConfig
-    from ..train.loop import TrainConfig, init_state, make_forward
-    from .bench import time_fn
+    from ..train.loop import TrainConfig, init_state
+    from .bench import chained_marginal_time
 
     ny = max(n_nodes // nx, 1)
     graph = build_grid_graph(nx, ny, with_band=(backend == "pallas")).to_device()
@@ -86,8 +86,15 @@ def run_scale_benchmark(
     )
     model = FlowGNN(mcfg)
     state = init_state(model, graph, TrainConfig(), jax.random.PRNGKey(0))
-    forward = make_forward(model)
-    stats = time_fn(forward, state.params, state.batch_stats, graph, steps=steps)
+
+    def apply_fn(g):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            g, train=False,
+        )
+
+    step_s = chained_marginal_time(apply_fn, graph, reps=max(min(steps, 6), 4))
+    stats = {"median_s": step_s}
     msgs = num_layers * graph.n_edges
     return {
         "metric": "edge_messages_per_sec_per_chip",
