@@ -262,21 +262,137 @@ def banded_transformer_fwd(
     )(bias_noself, q, kp, kp, kp, vp, vp, vp)
 
 
+# ----------------------------------- rolling-window GAT (single z read)
+def _gat_roll_kernel(bias_ref, asrc_l, asrc_m, asrc_r, adst_ref, z_hbm,
+                     o_ref, ring, sem, *, heads, negative_slope):
+    """GAT attention with a persistent VMEM ring over z window tiles.
+
+    TPU grid steps run sequentially on the core, so scratch persists: step i
+    DMAs only the one new window tile (i+2 in padded coords) instead of
+    streaming all three — 3× less HBM traffic on the [N, H*C] values, which
+    dominates the fused kernel's bandwidth.
+    """
+    i = pl.program_id(0)
+    tile = adst_ref.shape[0]
+
+    def dma(padded_tile, slot):
+        return pltpu.make_async_copy(
+            z_hbm.at[pl.ds(padded_tile * tile, tile), :],
+            ring.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(3):
+            dma(k, k).start()
+        for k in range(3):
+            dma(k, k).wait()
+
+    @pl.when(i > 0)
+    def _():
+        slot = (i + 2) % 3
+        dma(i + 2, slot).start()
+        dma(i + 2, slot).wait()
+
+    bias = bias_ref[0]
+    c = ring.shape[2] // heads
+    outs = []
+    for h in range(heads):
+        a_d = adst_ref[:, h][:, None]
+        logits = []
+        for k, asrc in enumerate((asrc_l, asrc_m, asrc_r)):
+            a_s = asrc[:, h][None, :]
+            l = a_d + a_s
+            l = jnp.where(l >= 0, l, negative_slope * l)
+            logits.append(l + bias[k])
+        full = jnp.concatenate(logits, axis=1)
+        m = jnp.max(full, axis=1, keepdims=True)
+        e = jnp.exp(full - m)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        p = (e / denom).astype(ring.dtype)
+        acc = None
+        for k in range(3):
+            slot = (i + k) % 3
+            part = jnp.dot(
+                p[:, k * tile:(k + 1) * tile],
+                ring[slot][:, h * c:(h + 1) * c],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        outs.append(acc)
+    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def banded_gat_fwd_rolling(
+    bias_self: jax.Array,
+    z: jax.Array,
+    alpha_src: jax.Array,
+    alpha_dst: jax.Array,
+    heads: int,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    n_tiles, _, tile, _ = bias_self.shape
+    hc = z.shape[1]
+    h = alpha_src.shape[1]
+    zp = _pad_windows(z, tile)
+    ap = _pad_windows(alpha_src, tile)
+    kernel = functools.partial(
+        _gat_roll_kernel, heads=heads, negative_slope=negative_slope
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile, tile), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, h), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, h), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # zp stays in HBM
+        ],
+        out_specs=pl.BlockSpec((tile, hc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile, hc), z.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * heads * tile * 3 * tile * (hc // heads),
+            bytes_accessed=bias_self.size * bias_self.dtype.itemsize
+            + 2 * z.size * z.dtype.itemsize,
+            transcendentals=n_tiles * heads * tile * 3 * tile,
+        ),
+        interpret=_use_interpret(),
+    )(bias_self, ap, ap, ap, alpha_dst, zp)
+
+
 # ----------------------------------------------- differentiable wrappers
 # The Pallas kernels are forward implementations; gradients route through
 # jax.custom_vjp with the mathematically identical jnp reference (the band
 # masks are constants of the static graph, so only the feature inputs carry
 # cotangents).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2):
+def _gat_dispatch(bias_self, z, alpha_src, alpha_dst, heads, negative_slope):
+    # The streaming variant reads the z window three times, but Mosaic's
+    # automatic block pipelining overlaps those fetches with compute; measured
+    # on v5e it beats the rolling-ring variant (banded_gat_fwd_rolling), whose
+    # manual DMA serializes against the matmuls.  Keep streaming as default.
     return banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
                           negative_slope)
 
 
-def _gat_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope):
-    out = banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2):
+    return _gat_dispatch(bias_self, z, alpha_src, alpha_dst, heads,
                          negative_slope)
+
+
+def _gat_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope):
+    out = _gat_dispatch(bias_self, z, alpha_src, alpha_dst, heads,
+                        negative_slope)
     return out, (bias_self, z, alpha_src, alpha_dst)
 
 

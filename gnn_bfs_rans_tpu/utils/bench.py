@@ -27,41 +27,43 @@ def _fetch_scalar(out) -> None:
 
 
 def chained_marginal_time(
-    apply_fn, graph, reps: int = 4, base: int = 1, trials: int = 2
+    apply_fn, graph, reps: int = 32, base: int = 2, trials: int = 3
 ) -> float:
     """Marginal seconds per forward via chained data-dependent calls.
 
-    ``apply_fn(graph) -> out`` must be a pure function of the graph.
+    ``apply_fn(graph) -> out`` must be a pure function of the graph.  The
+    chain runs as a ``lax.fori_loop`` whose carry feeds each iteration's
+    output back into the next input (scaled by 1e-30 — numerically invisible
+    but not constant-foldable), so the device must execute ``k`` sequential
+    forwards per call; ``(T(reps) − T(base)) / (reps − base)`` cancels both
+    the host round trip and the loop setup, and large ``reps`` averages away
+    tunnel jitter.  One traced body per k → compile cost is k-independent.
     """
 
-    def make(k: int):
-        @jax.jit
-        def f(g):
-            out = None
-            gg = g
-            for _ in range(k):
-                out = apply_fn(gg)
-                dep = jnp.sum(out.ravel()[0]) * 0.0
-                gg = dataclasses.replace(g, node_feat=g.node_feat + dep)
-            return out
+    @jax.jit
+    def f(g, k):
+        def body(_, feat):
+            out = apply_fn(dataclasses.replace(g, node_feat=feat))
+            dep = out.ravel()[0].astype(feat.dtype) * 1e-30
+            return feat + dep
 
-        return f
+        # dynamic trip count → ONE compiled executable serves every k
+        return jax.lax.fori_loop(0, k, body, g.node_feat)
 
-    f_base, f_full = make(base), make(reps)
-
-    def best_time(f) -> float:
-        out = f(graph)
+    def best_time(k: int) -> float:
+        kk = jnp.asarray(k, jnp.int32)
+        out = f(graph, kk)
         _fetch_scalar(out)
         best = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            out = f(graph)
+            out = f(graph, kk)
             _fetch_scalar(out)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_base = best_time(f_base)
-    t_full = best_time(f_full)
+    t_base = best_time(base)
+    t_full = best_time(reps)
     return max((t_full - t_base) / (reps - base), 1e-9)
 
 
@@ -144,7 +146,7 @@ def run_benchmark(
                 g, train=False,
             )
 
-        step_s = chained_marginal_time(apply_fn, graph, reps=min(max(steps, 4), 6))
+        step_s = chained_marginal_time(apply_fn, graph, reps=max(steps, 16))
         stats = {"median_s": step_s, "min_s": step_s}
     else:
         step = make_train_step(model, tcfg)

@@ -93,7 +93,7 @@ def run_scale_benchmark(
             g, train=False,
         )
 
-    step_s = chained_marginal_time(apply_fn, graph, reps=max(min(steps, 6), 4))
+    step_s = chained_marginal_time(apply_fn, graph, reps=max(steps, 8))
     stats = {"median_s": step_s}
     msgs = num_layers * graph.n_edges
     return {
