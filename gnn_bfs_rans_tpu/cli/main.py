@@ -48,6 +48,7 @@ def cmd_train(args) -> int:
         dropout=args.dropout,
         backend=args.backend,
         compute_dtype=args.compute_dtype,
+        norm_type=args.norm_type,
     )
     tcfg = TrainConfig(
         lr=args.lr,
@@ -290,6 +291,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["segment", "dense", "pallas"])
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--norm_type", type=str, default="batch",
+                   choices=["batch", "layer", "none"])
     p.add_argument("--include_uniform", action="store_true",
                    help="Keep uniform (initial-condition) snapshots")
     p.add_argument("--resume", action="store_true",

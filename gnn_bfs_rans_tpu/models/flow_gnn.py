@@ -49,6 +49,8 @@ class ModelConfig:
     heads: int = 4
     dropout: float = 0.1
     use_batch_norm: bool = True
+    # 'batch' (reference parity) | 'layer' (per-node, DP/jit-trivial) | 'none'
+    norm_type: str = "batch"
     use_edge_attr: bool = True   # feeds edge features to Transformer conv
     backend: str = "dense"       # segment | dense | pallas
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
@@ -96,7 +98,7 @@ class FlowGNN(nn.Module):
             x_new = layer(x, graph, **call_kwargs)
 
             x = x + x_new  # residual (gnn_model.py:184)
-            if cfg.use_batch_norm:
+            if cfg.use_batch_norm and cfg.norm_type == "batch":
                 # normalization statistics always accumulate in float32
                 x = MaskedBatchNorm(cfg.hidden_dim, name=f"bn_{i}")(
                     x.astype(jnp.float32), graph.node_mask,
@@ -104,6 +106,11 @@ class FlowGNN(nn.Module):
                 )
                 if dtype is not None:
                     x = x.astype(dtype)
+            elif cfg.use_batch_norm and cfg.norm_type == "layer":
+                # per-node LayerNorm: no cross-node statistics → identical in
+                # train/eval, padding-safe, and trivially correct under any
+                # sharding (the BN alternative named in SURVEY.md §7)
+                x = nn.LayerNorm(name=f"bn_{i}", dtype=dtype)(x)
             x = nn.relu(x)
             x = nn.Dropout(cfg.dropout, name=f"drop_{i}")(
                 x, deterministic=not train

@@ -74,7 +74,7 @@ class PartitionedFlowGNN(nn.Module):
             x_new = conv_cls(**kwargs)(x, graph, **call_kwargs)
 
             x = x + x_new
-            if cfg.use_batch_norm:
+            if cfg.use_batch_norm and cfg.norm_type == "batch":
                 # statistics over OWNED real rows only (each node counted
                 # exactly once across the mesh), psum'd → exact global BN
                 x = MaskedBatchNorm(
@@ -85,6 +85,8 @@ class PartitionedFlowGNN(nn.Module):
                 )
                 if dtype is not None:
                     x = x.astype(dtype)
+            elif cfg.use_batch_norm and cfg.norm_type == "layer":
+                x = nn.LayerNorm(name=f"bn_{i}", dtype=dtype)(x)
             x = nn.relu(x)
             if cfg.dropout > 0 and train:
                 rng = self.make_rng("dropout")

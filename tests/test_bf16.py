@@ -52,3 +52,20 @@ def test_bf16_trains(tiny_graph):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_layer_norm_variant(tiny_graph):
+    """norm_type='layer': train/eval identical, trains, partition-safe."""
+    import jax.numpy as jnp
+
+    g, adj = tiny_graph
+    cfg = ModelConfig(hidden_dim=16, num_layers=2, layer_type="GCN",
+                      dropout=0.0, backend="dense", norm_type="layer")
+    model = FlowGNN(cfg)
+    variables = model.init(jax.random.PRNGKey(0), g, train=False)
+    assert "batch_stats" not in variables  # no running statistics
+    out_eval = model.apply(variables, g, train=False)
+    out_train = model.apply(variables, g, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_train),
+                               rtol=1e-5, atol=1e-6)
