@@ -34,9 +34,12 @@ def cmd_train(args) -> int:
     (out_dir / "config.json").write_text(json.dumps(cfg_dict, indent=2))
 
     print("Loading dataset...")
+    from ..graph.band import LAYER_COMPONENTS
+
     dataset = load_dataset(
         args.case_path, args.time_dirs, include_uniform=args.include_uniform,
         with_band=(args.backend == "pallas"),
+        band_components=LAYER_COMPONENTS.get(args.layer_type),
     )
     print(f"Loaded {dataset.n_snapshots} samples: {dataset.time_dirs}")
     dataset.normalizer.save(out_dir / "normalizer.json")

@@ -30,18 +30,34 @@ import numpy as np
 NEG_INF = -1e30
 
 
+ALL_COMPONENTS = ("adj", "gcn", "bias_self", "bias_noself")
+
+# band components each conv backend actually reads — used to build only
+# what's needed (each component is ~n_pad*3*tile*4 bytes; at 1M cells the
+# full set is ~6 GB, one component 1.5 GB)
+LAYER_COMPONENTS = {
+    "GCN": ("gcn",),
+    "GIN": ("adj",),
+    "GAT": ("bias_self",),
+    "Transformer": ("bias_noself",),
+}
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Band:
-    adj: jax.Array          # [n_tiles, 3, T, T] float32 0/1
-    gcn: jax.Array          # [n_tiles, 3, T, T] float32 normalized coeffs (+self)
-    bias_self: jax.Array    # [n_tiles, 3, T, T] float32 0 / -1e30 (with self)
-    bias_noself: jax.Array  # [n_tiles, 3, T, T] float32 0 / -1e30
+    adj: jax.Array | None          # [n_tiles, 3, T, T] float32 0/1
+    gcn: jax.Array | None          # normalized GCN coeffs incl. self-loops
+    bias_self: jax.Array | None    # 0 / -1e30 additive mask (with self)
+    bias_noself: jax.Array | None  # 0 / -1e30 additive mask
     tile: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
-        return self.adj.shape[0]
+        for f in (self.adj, self.gcn, self.bias_self, self.bias_noself):
+            if f is not None:
+                return f.shape[0]
+        raise ValueError("empty Band")
 
 
 def build_band(
@@ -51,10 +67,13 @@ def build_band(
     node_mask: np.ndarray,
     in_degree: np.ndarray,
     tile: int = 128,
+    components: tuple[str, ...] = ALL_COMPONENTS,
 ) -> Band | None:
     """Build banded adjacency; returns None if the graph isn't band-limited.
 
     Requires ``n_pad % tile == 0`` and every edge within ±(tile−1).
+    ``components`` selects which band tensors to materialize (see
+    LAYER_COMPONENTS) — each is O(n_pad · 3 · tile) floats.
     """
     if n_pad % tile != 0:
         return None
@@ -79,37 +98,44 @@ def build_band(
     # Everything below stays float32 and in-place — these are [n_tiles,3,T,T]
     # tensors and float64 temporaries dominate build time on slow-memory hosts.
     diag_idx = np.arange(tile)
-    # GCN: Â = A + I normalized by D̂^-1/2 on both sides; padding rows get 0.
-    deg_hat = np.asarray(in_degree, dtype=np.float32) + np.float32(1.0)
-    inv_sqrt = np.where(
-        node_mask, np.float32(1.0) / np.sqrt(np.maximum(deg_hat, 1.0)), 0.0
-    ).astype(np.float32)
-    gcn = adj.copy()
-    gcn[:, 1, diag_idx, diag_idx] += np.float32(1.0)  # self-loop
-    # scale rows by inv_sqrt[receiver], cols by inv_sqrt[sender of that column]
-    recv_scale = inv_sqrt.reshape(n_tiles, tile)      # [t, row]
-    gcn *= recv_scale[:, None, :, None]
-    padded = np.concatenate(
-        [np.zeros(tile, np.float32), inv_sqrt, np.zeros(tile, np.float32)]
-    )
-    # send_scale[t, k, col] = inv_sqrt[(t-1+k)*tile + col] via a strided view
-    send_scale = np.lib.stride_tricks.sliding_window_view(
-        padded, 3 * tile
-    )[::tile][:n_tiles].reshape(n_tiles, 3, tile)
-    gcn *= send_scale[:, :, None, :]
-
-    adj_self = adj.copy()
-    adj_self[:, 1, diag_idx, diag_idx] = np.float32(1.0)
-    # Padding rows must attend only to themselves (self bias) so softmax is
-    # well-defined; their outputs are masked downstream anyway.
     neg = np.float32(NEG_INF)
-    bias_self = np.where(adj_self > 0, np.float32(0.0), neg)
-    bias_noself = np.where(adj > 0, np.float32(0.0), neg)
+
+    gcn = None
+    if "gcn" in components:
+        # GCN: Â = A + I normalized by D̂^-1/2 on both sides; padding rows → 0.
+        deg_hat = np.asarray(in_degree, dtype=np.float32) + np.float32(1.0)
+        inv_sqrt = np.where(
+            node_mask, np.float32(1.0) / np.sqrt(np.maximum(deg_hat, 1.0)), 0.0
+        ).astype(np.float32)
+        gcn = adj.copy()
+        gcn[:, 1, diag_idx, diag_idx] += np.float32(1.0)  # self-loop
+        recv_scale = inv_sqrt.reshape(n_tiles, tile)      # [t, row]
+        gcn *= recv_scale[:, None, :, None]
+        padded = np.concatenate(
+            [np.zeros(tile, np.float32), inv_sqrt, np.zeros(tile, np.float32)]
+        )
+        # send_scale[t, k, col] = inv_sqrt[(t-1+k)*tile + col], strided view
+        send_scale = np.lib.stride_tricks.sliding_window_view(
+            padded, 3 * tile
+        )[::tile][:n_tiles].reshape(n_tiles, 3, tile)
+        gcn *= send_scale[:, :, None, :]
+
+    bias_self = None
+    if "bias_self" in components:
+        adj_self = adj.copy()
+        adj_self[:, 1, diag_idx, diag_idx] = np.float32(1.0)
+        # Padding rows attend only to themselves so softmax is well-defined;
+        # their outputs are masked downstream anyway.
+        bias_self = np.where(adj_self > 0, np.float32(0.0), neg)
+
+    bias_noself = None
+    if "bias_noself" in components:
+        bias_noself = np.where(adj > 0, np.float32(0.0), neg)
 
     # host-side numpy leaves (see graph.structs.build_padded_graph)
     return Band(
-        adj=adj,
-        gcn=gcn.astype(np.float32),
+        adj=adj if "adj" in components else None,
+        gcn=gcn,
         bias_self=bias_self,
         bias_noself=bias_noself,
         tile=tile,

@@ -65,6 +65,7 @@ def build_graph(
     edge_align: int = 128,
     reorder: str = "rcm",
     with_band: bool = False,
+    band_components: tuple[str, ...] | None = None,
 ) -> Graph:
     """Build the canonical padded :class:`Graph` for a mesh.
 
@@ -109,7 +110,7 @@ def build_graph(
         graph = _dc.replace(graph, perm=perm_pad)
 
     if with_band:
-        from .band import build_band
+        from .band import ALL_COMPONENTS, build_band
 
         band = build_band(
             np.asarray(graph.senders)[: graph.n_edges],
@@ -118,6 +119,7 @@ def build_graph(
             np.asarray(graph.node_mask),
             np.asarray(graph.in_degree),
             tile=node_align,
+            components=band_components or ALL_COMPONENTS,
         )
         if band is not None:
             graph = _dc.replace(graph, band=band)

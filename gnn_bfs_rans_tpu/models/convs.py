@@ -75,7 +75,8 @@ class GCNConv(nn.Module):
         h = _lecun_linear(self.features, use_bias=False, name="lin", dtype=self.dtype)(x)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        if self.backend == "pallas" and graph.band is not None:
+        if (self.backend == "pallas" and graph.band is not None
+                and graph.band.gcn is not None):
             # band.gcn already carries D̂^-1/2 (A+I) D̂^-1/2 incl. self-loops
             from ..kernels.banded import banded_spmm
             return banded_spmm(graph.band.gcn, h) + bias
@@ -136,6 +137,7 @@ class GATConv(nn.Module):
         use_pallas = (
             self.backend == "pallas"
             and graph.band is not None
+            and graph.band.bias_self is not None
             and (deterministic or self.dropout == 0)
             # fused kernel has no attention-dropout; falls back to dense
         )
@@ -230,7 +232,8 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
-        if self.backend == "pallas" and graph.band is not None:
+        if (self.backend == "pallas" and graph.band is not None
+                and graph.band.adj is not None):
             from ..kernels.banded import banded_spmm
             agg = banded_spmm(graph.band.adj, x)
         elif self.backend == "segment":
@@ -286,6 +289,7 @@ class TransformerConv(nn.Module):
         use_pallas = (
             self.backend == "pallas"
             and graph.band is not None
+            and graph.band.bias_noself is not None
             and edge_kv is None  # band layout carries no per-edge embeddings
             and (deterministic or self.dropout == 0)
         )

@@ -55,6 +55,7 @@ def load_dataset(
     node_align: int = 128,
     edge_align: int = 128,
     with_band: bool = False,
+    band_components: tuple[str, ...] | None = None,
 ) -> FlowDataset:
     """Load an OpenFOAM case into a device-ready dataset.
 
@@ -63,7 +64,8 @@ def load_dataset(
     """
     case = FoamCase(case_path)
     mesh = case.load_mesh()
-    graph = build_graph(mesh, node_align=node_align, edge_align=edge_align, with_band=with_band)
+    graph = build_graph(mesh, node_align=node_align, edge_align=edge_align,
+                        with_band=with_band, band_components=band_components)
 
     if time_dirs is None:
         time_dirs = case.available_time_dirs()

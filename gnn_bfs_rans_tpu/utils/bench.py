@@ -122,7 +122,13 @@ def run_benchmark(
     from ..train import TrainConfig, load_dataset
     from ..train.loop import init_state, make_train_step
 
-    dataset = load_dataset(case_path, with_band=(backend == "pallas"))
+    from ..graph.band import LAYER_COMPONENTS
+
+    dataset = load_dataset(
+        case_path,
+        with_band=(backend == "pallas"),
+        band_components=LAYER_COMPONENTS.get(layer_type),
+    )
     graph = dataset.graph.to_device()
 
     mcfg = ModelConfig(

@@ -20,7 +20,8 @@ from ..graph.structs import Graph, build_padded_graph
 
 
 def build_grid_graph(
-    nx: int, ny: int, with_band: bool = True, tile: int = 128
+    nx: int, ny: int, with_band: bool = True, tile: int = 128,
+    band_components: tuple[str, ...] | None = None,
 ) -> Graph:
     """A quad-grid graph of ``nx × ny`` cells with 4-neighbor adjacency."""
     import dataclasses
@@ -48,6 +49,8 @@ def build_grid_graph(
         node_align=tile, edge_align=tile,
     )
     if with_band and nx < tile:
+        from ..graph.band import ALL_COMPONENTS
+
         band = build_band(
             np.asarray(graph.senders)[: graph.n_edges],
             np.asarray(graph.receivers)[: graph.n_edges],
@@ -55,6 +58,7 @@ def build_grid_graph(
             np.asarray(graph.node_mask),
             np.asarray(graph.in_degree),
             tile=tile,
+            components=band_components or ALL_COMPONENTS,
         )
         if band is not None:
             graph = dataclasses.replace(graph, band=band)
@@ -78,8 +82,13 @@ def run_scale_benchmark(
     from ..train.loop import TrainConfig, init_state
     from .bench import chained_marginal_time
 
+    from ..graph.band import LAYER_COMPONENTS
+
     ny = max(n_nodes // nx, 1)
-    graph = build_grid_graph(nx, ny, with_band=(backend == "pallas")).to_device()
+    graph = build_grid_graph(
+        nx, ny, with_band=(backend == "pallas"),
+        band_components=LAYER_COMPONENTS.get(layer_type),
+    ).to_device()
     mcfg = ModelConfig(
         hidden_dim=hidden_dim, num_layers=num_layers, layer_type=layer_type,
         backend=backend, dropout=0.0, compute_dtype=compute_dtype,
