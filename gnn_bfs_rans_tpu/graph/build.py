@@ -14,7 +14,6 @@ invariants the reference could only patch up at runtime.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..foam.reader import FoamMesh

@@ -10,7 +10,6 @@ from __future__ import annotations
 import dataclasses
 from pathlib import Path
 
-import jax
 import numpy as np
 
 from .foam.reader import FoamCase
@@ -18,7 +17,7 @@ from .graph.build import build_graph
 from .graph.structs import Graph
 from .models.flow_gnn import FlowGNN, ModelConfig, split_fields
 from .train.checkpoint import load_checkpoint, load_meta
-from .train.loop import TrainConfig, TrainState, init_state, make_forward
+from .train.loop import make_forward
 from .train.normalization import FieldNormalizer
 
 

@@ -24,7 +24,7 @@ of cells that a single chip cannot hold.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

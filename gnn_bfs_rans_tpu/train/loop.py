@@ -32,7 +32,7 @@ import optax
 from flax import struct
 
 from ..graph.structs import Graph
-from ..models.flow_gnn import FlowGNN, ModelConfig
+from ..models.flow_gnn import FlowGNN
 from .metrics import compute_field_errors
 from .normalization import weighted_fieldwise_mse
 
