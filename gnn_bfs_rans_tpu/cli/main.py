@@ -247,6 +247,21 @@ def cmd_check_coordinates(args) -> int:
 def cmd_bench(args) -> int:
     from ..utils.bench import run_benchmark
 
+    if args.synthetic:
+        from ..utils.synthetic import run_scale_benchmark
+
+        result = run_scale_benchmark(
+            n_nodes=args.synthetic,
+            layer_type=args.layer_type,
+            num_layers=args.num_layers,
+            hidden_dim=args.hidden_dim,
+            backend=args.backend,
+            compute_dtype=args.compute_dtype,
+            steps=args.steps,
+        )
+        print(json.dumps(result))
+        return 0
+
     result = run_benchmark(
         case_path=args.case_path,
         layer_type=args.layer_type,
@@ -358,9 +373,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", type=str, default="dense")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--steps", type=int, default=16)
     p.add_argument("--mode", type=str, default="forward",
                    choices=["forward", "train"])
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="Benchmark a synthetic quad-grid of ~N cells instead")
     p.set_defaults(func=cmd_bench)
 
     return parser

@@ -119,6 +119,23 @@ class Trainer:
 
     # ------------------------------------------------------------------ train
     def train(self) -> dict:
+        """Run the epoch loop; saves an ``interrupt`` checkpoint on Ctrl-C /
+        SIGTERM-raised KeyboardInterrupt so ``--resume`` can continue, and
+        aborts loudly on non-finite loss (NaN guard — SURVEY.md §5 failure
+        detection plan)."""
+        try:
+            return self._train_loop()
+        except KeyboardInterrupt:
+            if self.state is not None:
+                epoch = self.history["epoch"][-1] if self.history["epoch"] else 0
+                self._save(f"epoch_{epoch}", epoch,
+                           self.history["val_loss"][-1] if epoch else float("inf"),
+                           {"interrupted": True})
+                self.save_history()
+                self.log(f"Interrupted: checkpoint saved at epoch {epoch}")
+            raise
+
+    def _train_loop(self) -> dict:
         if self.state is None:
             self.initialize()
         cfg = self.config
@@ -158,6 +175,13 @@ class Trainer:
                 )
                 losses.append(loss)
             train_loss = float(np.mean([float(l) for l in losses]))
+            if not np.isfinite(train_loss):
+                self.save_history()
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch} "
+                    f"(loss={train_loss}); enable "
+                    "utils.profiling.enable_nan_checks() to locate the op"
+                )
 
             val_loss, errors, _ = self.eval_step(
                 self.state, self.graph, self.targets
