@@ -13,7 +13,9 @@ from .partition import (
     build_partition,
     gather_partitioned,
     make_partitioned_forward,
+    make_partitioned_train_step,
     shard_partition,
+    shard_partitioned_targets,
 )
 from .multicase import (
     CaseBatch,
@@ -41,5 +43,7 @@ __all__ = [
     "build_partition",
     "shard_partition",
     "make_partitioned_forward",
+    "make_partitioned_train_step",
+    "shard_partitioned_targets",
     "gather_partitioned",
 ]

@@ -217,3 +217,125 @@ def gather_partitioned(out: jax.Array, pgraph: PartitionedGraph) -> np.ndarray:
     """[n_dev, N_loc, out] sharded → [n_nodes, out] host array in graph order."""
     host = np.asarray(jax.device_get(out))
     return host.reshape(-1, host.shape[-1])[: pgraph.n_nodes]
+
+
+def shard_partitioned_targets(
+    targets: np.ndarray, pgraph: PartitionedGraph, mesh: Mesh
+) -> jax.Array:
+    """[S, N_pad, 7] graph-order targets → [n_dev, S, N_loc, 7] sharded."""
+    s = targets.shape[0]
+    n_dev = pgraph.n_dev
+    t = np.asarray(targets).reshape(s, n_dev, pgraph.n_loc, -1)
+    t = np.transpose(t, (1, 0, 2, 3))
+    return jax.device_put(t, NamedSharding(mesh, P("data")))
+
+
+def make_partitioned_train_step(
+    config: ModelConfig, train_cfg, mesh: Mesh, halo: int = 128
+):
+    """Node-sharded training: forward with halo exchange, loss on owned rows.
+
+    Signature: ``(state, pgraph, targets, lr, rng) -> (state, loss)`` with
+    ``targets`` as produced by :func:`shard_partitioned_targets`.  Params are
+    replicated; ``jax.grad`` inside shard_map auto-psums the cotangents over
+    the data axis, so the returned gradients are the exact global gradients
+    (see ``data_parallel``).  Train-mode BatchNorm statistics psum over owned
+    rows — identical to the full-graph statistics.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from ..train.loop import TrainState, _pressure_freeze_mask, make_optimizer
+    from ..train.normalization import weighted_fieldwise_mse
+
+    model = PartitionedFlowGNN(config, axis="data")
+    tx = make_optimizer(train_cfg)
+
+    def local_step(state, node_feat, nbr_idx, nbr_mask, real_mask,
+                   owned_mask, in_degree, targets_local, lr, rng):
+        leaves = {
+            "node_feat": node_feat[0],
+            "nbr_idx": nbr_idx[0],
+            "nbr_mask": nbr_mask[0],
+            "real_mask": real_mask[0],
+            "in_degree": in_degree[0],
+        }
+        g = _local_graph(leaves, halo)
+        own = owned_mask[0]
+        n_loc = own.shape[0] - 2 * halo
+        tgt = targets_local[0]                    # [S, N_loc, 7]
+        n_total = jnp.maximum(
+            jax.lax.psum(jnp.sum(own.astype(jnp.float32)), "data"), 1.0
+        )
+        local_count = jnp.sum(own.astype(jnp.float32))
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                g, owned_mask=own, halo=halo, train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            out_owned = out[halo:halo + n_loc]
+            own_rows = own[halo:halo + n_loc]
+            ow = own_rows.astype(out.dtype)
+            # per-snapshot MSE part on this shard's owned rows, weighted by
+            # the shard's share of real nodes so the psum'd total equals the
+            # global masked mean.  The pressure anchor is nonlinear in the
+            # GLOBAL mean, so it is computed from psum'd sums instead.
+            per = jax.vmap(
+                lambda t: weighted_fieldwise_mse(
+                    out_owned, t, own_rows, pressure_ref_weight=0.0,
+                )
+            )(tgt)
+            share = jnp.mean(per) * (local_count / n_total)
+
+            lam = train_cfg.pressure_ref_weight
+            if lam > 0:
+                p_pred_mean = jax.lax.psum(
+                    jnp.sum(out_owned[:, 3] * ow), "data"
+                ) / n_total
+                p_tgt_means = jax.lax.psum(
+                    jnp.sum(tgt[:, :, 3] * ow[None, :], axis=1), "data"
+                ) / n_total                                  # [S]
+                anchor = jnp.mean((p_pred_mean - p_tgt_means) ** 2)
+                w_p = 3.0  # pressure field weight (DEFAULT_FIELD_WEIGHTS)
+                n_dev = jax.lax.axis_size("data")
+                share = share + w_p * lam * anchor / n_dev
+            return share, mutated["batch_stats"]
+
+        (share, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        loss = jax.lax.psum(share, "data")
+        return loss, grads, new_bs
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("freeze_pressure",), donate_argnums=(0,))
+    def step(state, pgraph: PartitionedGraph, targets, lr, rng,
+             freeze_pressure: bool = False):
+        loss, grads, new_bs = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                      P("data"), P("data"), P("data"), P(), P()),
+            out_specs=(P(), P(), P()),
+        )(state, pgraph.node_feat, pgraph.nbr_idx, pgraph.nbr_mask,
+          pgraph.real_mask, pgraph.owned_mask, pgraph.in_degree,
+          targets, lr, rng)
+        if freeze_pressure:
+            grads = jax.tree_util.tree_map_with_path(_pressure_freeze_mask, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if freeze_pressure:
+            updates = jax.tree_util.tree_map_with_path(
+                _pressure_freeze_mask, updates
+            )
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_bs, opt_state=new_opt,
+        ), loss
+
+    return step
