@@ -93,10 +93,23 @@ def predict_case(
     case_path: str | Path,
     name: str = "best",
 ) -> tuple[Predictor, dict[str, np.ndarray], Graph]:
-    """End-to-end: load checkpoint, parse case, build graph, predict."""
+    """End-to-end: load checkpoint, parse case, build graph, predict.
+
+    The graph gets the banded adjacency when the checkpointed model uses the
+    Pallas backend (only the component its conv type reads).
+    """
     predictor = Predictor.from_checkpoint(checkpoint_dir, name)
     case = FoamCase(case_path)
     mesh = case.load_mesh()
-    graph = build_graph(mesh).to_device()
+    cfg = predictor.model_config
+    if cfg.backend == "pallas":
+        from .graph.band import LAYER_COMPONENTS
+
+        graph = build_graph(
+            mesh, with_band=True,
+            band_components=LAYER_COMPONENTS.get(cfg.layer_type),
+        ).to_device()
+    else:
+        graph = build_graph(mesh).to_device()
     fields = predictor.predict_fields(graph)
     return predictor, fields, graph

@@ -159,3 +159,36 @@ class TestTrainerEndToEnd:
         np.testing.assert_allclose(
             packed_trained, packed_loaded, rtol=1e-5, atol=1e-6
         )
+
+
+class TestPallasCheckpointInference:
+    def test_predict_case_builds_band_for_pallas_checkpoint(self, tmp_path):
+        """A pallas-backend checkpoint gets a banded graph at inference."""
+        import jax
+
+        from gnn_bfs_rans_tpu.infer import predict_case
+        from gnn_bfs_rans_tpu.train import (
+            FieldNormalizer,
+            TrainConfig,
+            load_dataset,
+            save_checkpoint,
+        )
+        from gnn_bfs_rans_tpu.train.loop import init_state
+
+        ds = load_dataset(
+            "/root/reference/OpenFOAM-data", ["282"], with_band=True,
+            band_components=("gcn",),
+        )
+        mcfg = ModelConfig(hidden_dim=16, num_layers=1, layer_type="GCN",
+                           dropout=0.0, backend="pallas")
+        tcfg = TrainConfig()
+        model = FlowGNN(mcfg)
+        state = init_state(model, ds.graph, tcfg, jax.random.PRNGKey(0))
+        save_checkpoint(
+            tmp_path, "best", state, epoch=1, val_loss=0.0,
+            model_config=mcfg, train_config=tcfg, normalizer=ds.normalizer,
+        )
+        _, fields, graph = predict_case(tmp_path, "/root/reference/OpenFOAM-data")
+        assert graph.band is not None and graph.band.gcn is not None
+        assert fields["U"].shape == (12225, 3)
+        assert np.isfinite(fields["U"]).all()
