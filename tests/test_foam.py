@@ -145,3 +145,43 @@ class TestWriterRoundTrip:
         text_u = (out / "U").read_text()
         assert "dimensions      [0 1 -1 0 0 0 0];" in text_u
         assert "volVectorField" in text_u
+
+
+class TestTokenizerFuzz:
+    """Property tests: python and native parsers agree on random faceLists."""
+
+    def test_random_mixed_faces_native_vs_python(self):
+        from gnn_bfs_rans_tpu import native
+        from gnn_bfs_rans_tpu.foam.tokenizer import (
+            parse_face_list,
+            parse_face_list_fast,
+        )
+
+        rng = np.random.default_rng(42)
+        for trial in range(5):
+            n_faces = int(rng.integers(1, 60))
+            parts = []
+            expected_pts = []
+            offsets = [0]
+            for _ in range(n_faces):
+                k = int(rng.integers(3, 6))
+                pts = rng.integers(0, 1000, size=k)
+                parts.append(f"{k}({' '.join(map(str, pts))})")
+                expected_pts.extend(pts.tolist())
+                offsets.append(offsets[-1] + k)
+            body = f"{n_faces} ( {' '.join(parts)} )"
+            off_ref, pts_ref = parse_face_list(body)
+            assert off_ref.tolist() == offsets
+            assert pts_ref.tolist() == expected_pts
+            off_fast, pts_fast = parse_face_list_fast(body)
+            np.testing.assert_array_equal(off_fast, off_ref)
+            np.testing.assert_array_equal(pts_fast, pts_ref)
+
+    def test_scientific_notation_scalars(self):
+        from gnn_bfs_rans_tpu.foam.tokenizer import parse_scalar_list
+
+        body = "5 ( 1e-30 -2.5E+10 3.0e0 -4e-2 0.5 )"
+        vals = parse_scalar_list(body)
+        np.testing.assert_allclose(
+            vals, [1e-30, -2.5e10, 3.0, -0.04, 0.5]
+        )
