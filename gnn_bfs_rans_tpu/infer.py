@@ -34,14 +34,26 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(
-        cls, checkpoint_dir: str | Path, name: str = "best"
+        cls,
+        checkpoint_dir: str | Path,
+        name: str = "best",
+        backend: str | None = "dense",
     ) -> "Predictor":
         """Reconstruct the exact model from the embedded config
 
-        (parity with ``inference.py:20-59``).
+        (parity with ``inference.py:20-59``).  ``backend`` overrides the
+        checkpoint's training backend for inference — the three backends are
+        mathematically identical, and for a single forward pass the dense
+        path's seconds-scale compile beats the Pallas kernels' minutes-scale
+        Mosaic compile.  Pass ``backend=None`` to keep the training backend
+        (e.g. for repeated/serving use where the compile amortizes).
         """
         meta = load_meta(checkpoint_dir, name)
         model_config = ModelConfig.from_dict(meta["model_config"])
+        if backend is not None and model_config.backend != backend:
+            import dataclasses as _dc
+
+            model_config = _dc.replace(model_config, backend=backend)
         restored, _ = load_checkpoint(checkpoint_dir, name)
         normalizer = (
             FieldNormalizer.from_dict(meta["normalizer"])
@@ -92,13 +104,15 @@ def predict_case(
     checkpoint_dir: str | Path,
     case_path: str | Path,
     name: str = "best",
+    backend: str | None = "dense",
 ) -> tuple[Predictor, dict[str, np.ndarray], Graph]:
     """End-to-end: load checkpoint, parse case, build graph, predict.
 
-    The graph gets the banded adjacency when the checkpointed model uses the
-    Pallas backend (only the component its conv type reads).
+    ``backend`` as in :meth:`Predictor.from_checkpoint` (default: dense —
+    fastest cold-start for a one-shot forward).  When the effective backend
+    is pallas, the graph gets the banded adjacency component its conv reads.
     """
-    predictor = Predictor.from_checkpoint(checkpoint_dir, name)
+    predictor = Predictor.from_checkpoint(checkpoint_dir, name, backend=backend)
     case = FoamCase(case_path)
     mesh = case.load_mesh()
     cfg = predictor.model_config

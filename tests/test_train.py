@@ -188,7 +188,15 @@ class TestPallasCheckpointInference:
             tmp_path, "best", state, epoch=1, val_loss=0.0,
             model_config=mcfg, train_config=tcfg, normalizer=ds.normalizer,
         )
+        # default: backend overridden to dense for fast one-shot inference
         _, fields, graph = predict_case(tmp_path, "/root/reference/OpenFOAM-data")
-        assert graph.band is not None and graph.band.gcn is not None
+        assert graph.band is None
         assert fields["U"].shape == (12225, 3)
         assert np.isfinite(fields["U"]).all()
+        # honoring the training backend builds the band component it needs
+        _, fields2, graph2 = predict_case(
+            tmp_path, "/root/reference/OpenFOAM-data", backend=None
+        )
+        assert graph2.band is not None and graph2.band.gcn is not None
+        np.testing.assert_allclose(fields2["U"], fields["U"], rtol=1e-4,
+                                   atol=1e-5)
