@@ -131,11 +131,22 @@ def build_band(
     if "bias_noself" in components:
         bias_noself = np.where(adj > 0, np.float32(0.0), neg)
 
+    # Mask-like tensors store exactly in bfloat16 (values are 0, 1, ±1e30 —
+    # all exactly representable), halving their HBM traffic in the kernels.
+    # GCN coefficients keep float32 (0.4% bf16 rounding would break the
+    # 1e-4-tolerance parity with the segment/dense backends).
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
+
+    def _bf(a):
+        return None if a is None else a.astype(bf16)
+
     # host-side numpy leaves (see graph.structs.build_padded_graph)
     return Band(
-        adj=adj if "adj" in components else None,
+        adj=_bf(adj) if "adj" in components else None,
         gcn=gcn,
-        bias_self=bias_self,
-        bias_noself=bias_noself,
+        bias_self=_bf(bias_self),
+        bias_noself=_bf(bias_noself),
         tile=tile,
     )

@@ -64,7 +64,7 @@ class TestBandConstruction:
     def test_adj_captures_all_edges(self):
         g = _band_graph()
         band = g.band
-        assert float(jnp.sum(band.adj)) == g.n_edges
+        assert float(jnp.sum(band.adj.astype(jnp.float32))) == g.n_edges
 
     def test_band_rejects_wide_graph(self):
         # an edge wider than the tile → band must refuse
@@ -219,7 +219,7 @@ class TestBFSGraphBand:
         assert g.perm is not None
         assert g.band is not None
         assert g.band.tile == 128
-        assert float(jnp.sum(g.band.adj)) == g.n_edges
+        assert float(jnp.sum(g.band.adj.astype(jnp.float32))) == g.n_edges
         # permutation is a bijection on real nodes
         perm = np.asarray(g.perm)[: g.n_nodes]
         assert len(np.unique(perm)) == g.n_nodes

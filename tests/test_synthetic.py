@@ -18,7 +18,7 @@ class TestGridGraph:
     def test_band_attached_when_narrow(self):
         g = build_grid_graph(8, 8, with_band=True, tile=16)
         assert g.band is not None
-        assert float(np.asarray(g.band.adj).sum()) == g.n_edges
+        assert float(np.asarray(g.band.adj, dtype=np.float64).sum()) == g.n_edges
 
     def test_band_skipped_when_wide(self):
         # nx >= tile → bandwidth nx ≥ tile → no band
