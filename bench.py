@@ -14,6 +14,9 @@ import sys
 
 def main() -> int:
     from gnn_bfs_rans_tpu.utils.bench import run_benchmark
+    from gnn_bfs_rans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     result = run_benchmark(
         case_path="/root/reference/OpenFOAM-data",

@@ -385,6 +385,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.func(args)
 
 
