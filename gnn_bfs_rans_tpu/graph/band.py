@@ -1,12 +1,15 @@
 """Banded block-sparse adjacency for the Pallas MXU kernels.
 
-After RCM reordering every edge satisfies ``|sender − receiver| < TILE``, so
-for a tile of ``TILE`` consecutive receivers all senders fall inside a window
-of three consecutive tiles ``[t−1, t, t+1]``.  Aggregation then becomes
+After RCM reordering every edge satisfies ``|sender − receiver| ≤ bandwidth``.
+For a tile of ``TILE`` consecutive receivers all senders then fall inside a
+window of ``W = 2·k0+1`` consecutive tiles ``[t−k0 … t+k0]`` where
+``k0 = ceil(bandwidth/TILE)`` (k0=1 → the classic 3-tile window when
+bandwidth < TILE, as on the BFS mesh; k0=2 → 5 tiles for 3-D hex meshes whose
+RCM bandwidth lands in (TILE, 2·TILE]).  Aggregation then becomes
 
-    out[tile t] = Σ_{k∈{0,1,2}} A[t, k] @ x[tile t−1+k]
+    out[tile t] = Σ_{k∈{0..W−1}} A[t, k] @ x[tile t−k0+k]
 
-— three dense ``TILE×TILE`` matmuls per tile, a pure-MXU banded SpMM with no
+— ``W`` dense ``TILE×TILE`` matmuls per tile, a pure-MXU banded SpMM with no
 gather or scatter (the TPU-native answer to PyG's per-edge scatter kernels,
 SURVEY.md §3.4).  Attention variants reuse the same layout with additive
 ``0/−1e30`` masks and per-window softmax (flash-attention over the band).
@@ -29,34 +32,44 @@ import numpy as np
 NEG_INF = -1e30
 
 
-ALL_COMPONENTS = ("adj", "gcn", "bias_self", "bias_noself")
+ALL_COMPONENTS = ("adj", "gcn", "bias_self", "bias_noself", "edge")
 
 # band components each conv backend actually reads — used to build only
-# what's needed (each component is ~n_pad*3*tile*4 bytes; at 1M cells the
-# full set is ~6 GB, one component 1.5 GB)
+# what's needed (each component is ~n_pad*W*tile*4 bytes; at 1M cells the
+# full set is several GB, one component ~1.5 GB).  "edge" is the banded
+# [.., D_e, T, T] edge-feature tensor for the edge-conditioned Transformer.
 LAYER_COMPONENTS = {
     "GCN": ("gcn",),
     "GIN": ("adj",),
     "GAT": ("bias_self",),
-    "Transformer": ("bias_noself",),
+    "Transformer": ("bias_noself", "edge"),
 }
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Band:
-    adj: jax.Array | None          # [n_tiles, 3, T, T] float32 0/1
+    adj: jax.Array | None          # [n_tiles, W, T, T] bf16 0/1
     gcn: jax.Array | None          # normalized GCN coeffs incl. self-loops
     bias_self: jax.Array | None    # 0 / -1e30 additive mask (with self)
     bias_noself: jax.Array | None  # 0 / -1e30 additive mask
     tile: int = dataclasses.field(metadata=dict(static=True))
+    edge: jax.Array | None = None  # [n_tiles, W, D_e, T, T] bf16 edge features
+
+    def _any(self) -> jax.Array:
+        for f in (self.adj, self.gcn, self.bias_self, self.bias_noself):
+            if f is not None:
+                return f
+        raise ValueError("empty Band")
 
     @property
     def n_tiles(self) -> int:
-        for f in (self.adj, self.gcn, self.bias_self, self.bias_noself):
-            if f is not None:
-                return f.shape[0]
-        raise ValueError("empty Band")
+        return self._any().shape[0]
+
+    @property
+    def window(self) -> int:
+        """Number of window tiles W = 2·k0+1."""
+        return self._any().shape[1]
 
 
 def build_band(
@@ -67,31 +80,37 @@ def build_band(
     in_degree: np.ndarray,
     tile: int = 128,
     components: tuple[str, ...] = ALL_COMPONENTS,
+    max_window_tiles: int = 5,
+    edge_feat: np.ndarray | None = None,
 ) -> Band | None:
     """Build banded adjacency; returns None if the graph isn't band-limited.
 
-    Requires ``n_pad % tile == 0`` and every edge within ±(tile−1).
-    ``components`` selects which band tensors to materialize (see
-    LAYER_COMPONENTS) — each is O(n_pad · 3 · tile) floats.
+    The window width ``W = 2·k0+1`` is chosen minimally from the measured
+    tile-bandwidth (W=3 when bandwidth < tile); graphs needing
+    ``W > max_window_tiles`` return None (caller falls back to the dense
+    path).  ``components`` selects which band tensors to materialize (see
+    LAYER_COMPONENTS) — each is O(n_pad · W · tile) floats.  When
+    ``edge_feat`` ([n_edges, D_e]) is given, a band-layout edge tensor
+    ``[n_tiles, W, D_e, T, T]`` is built for the edge-conditioned
+    Graph-Transformer kernel.
     """
     if n_pad % tile != 0:
         return None
-    if len(senders) and np.abs(
-        senders.astype(np.int64) - receivers.astype(np.int64)
-    ).max() >= tile:
-        return None
 
     n_tiles = n_pad // tile
-    adj = np.zeros((n_tiles, 3, tile, tile), dtype=np.float32)
     t = receivers // tile
-    row = receivers % tile
-    # window block k such that sender tile == receiver tile - 1 + k
-    col_global = senders - (t - 1) * tile
-    k = col_global // tile
-    col = col_global % tile
-    valid = (k >= 0) & (k < 3)
-    if not valid.all():
+    s_tile = senders // tile
+    delta = s_tile - t
+    k0 = int(np.abs(delta).max()) if len(senders) else 1
+    k0 = max(k0, 1)
+    window = 2 * k0 + 1
+    if window > max_window_tiles:
         return None
+
+    adj = np.zeros((n_tiles, window, tile, tile), dtype=np.float32)
+    row = receivers % tile
+    col = senders % tile
+    k = delta + k0
     adj[t, k, row, col] = 1.0
 
     # Everything below stays float32 and in-place — these are [n_tiles,3,T,T]
@@ -107,22 +126,21 @@ def build_band(
             node_mask, np.float32(1.0) / np.sqrt(np.maximum(deg_hat, 1.0)), 0.0
         ).astype(np.float32)
         gcn = adj.copy()
-        gcn[:, 1, diag_idx, diag_idx] += np.float32(1.0)  # self-loop
-        recv_scale = inv_sqrt.reshape(n_tiles, tile)      # [t, row]
+        gcn[:, k0, diag_idx, diag_idx] += np.float32(1.0)  # self-loop
+        recv_scale = inv_sqrt.reshape(n_tiles, tile)       # [t, row]
         gcn *= recv_scale[:, None, :, None]
-        padded = np.concatenate(
-            [np.zeros(tile, np.float32), inv_sqrt, np.zeros(tile, np.float32)]
-        )
-        # send_scale[t, k, col] = inv_sqrt[(t-1+k)*tile + col], strided view
+        pad0 = np.zeros(k0 * tile, np.float32)
+        padded = np.concatenate([pad0, inv_sqrt, pad0])
+        # send_scale[t, k, col] = inv_sqrt[(t-k0+k)*tile + col], strided view
         send_scale = np.lib.stride_tricks.sliding_window_view(
-            padded, 3 * tile
-        )[::tile][:n_tiles].reshape(n_tiles, 3, tile)
+            padded, window * tile
+        )[::tile][:n_tiles].reshape(n_tiles, window, tile)
         gcn *= send_scale[:, :, None, :]
 
     bias_self = None
     if "bias_self" in components:
         adj_self = adj.copy()
-        adj_self[:, 1, diag_idx, diag_idx] = np.float32(1.0)
+        adj_self[:, k0, diag_idx, diag_idx] = np.float32(1.0)
         # Padding rows attend only to themselves so softmax is well-defined;
         # their outputs are masked downstream anyway.
         bias_self = np.where(adj_self > 0, np.float32(0.0), neg)
@@ -130,6 +148,12 @@ def build_band(
     bias_noself = None
     if "bias_noself" in components:
         bias_noself = np.where(adj > 0, np.float32(0.0), neg)
+
+    edge = None
+    if edge_feat is not None and "edge" in components:
+        d_e = edge_feat.shape[1]
+        edge = np.zeros((n_tiles, window, d_e, tile, tile), dtype=np.float32)
+        edge[t, k, :, row, col] = np.asarray(edge_feat, dtype=np.float32)
 
     # Mask-like tensors store exactly in bfloat16 (values are 0, 1, ±1e30 —
     # all exactly representable), halving their HBM traffic in the kernels.
@@ -149,4 +173,7 @@ def build_band(
         bias_self=_bf(bias_self),
         bias_noself=_bf(bias_noself),
         tile=tile,
+        # edge features keep float32: bf16 rounding (~0.4%) would break
+        # backend parity of the edge-conditioned conv (same reason as gcn)
+        edge=edge,
     )

@@ -111,6 +111,7 @@ def build_graph(
     if with_band:
         from .band import ALL_COMPONENTS, build_band
 
+        comps = band_components or ALL_COMPONENTS
         band = build_band(
             np.asarray(graph.senders)[: graph.n_edges],
             np.asarray(graph.receivers)[: graph.n_edges],
@@ -118,7 +119,9 @@ def build_graph(
             np.asarray(graph.node_mask),
             np.asarray(graph.in_degree),
             tile=node_align,
-            components=band_components or ALL_COMPONENTS,
+            components=comps,
+            edge_feat=(np.asarray(graph.edge_feat)[: graph.n_edges]
+                       if "edge" in comps else None),
         )
         if band is not None:
             graph = _dc.replace(graph, band=band)

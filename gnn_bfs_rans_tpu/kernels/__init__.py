@@ -4,10 +4,12 @@ from .banded import (
     banded_gat,
     banded_spmm,
     banded_transformer,
+    banded_transformer_edge,
 )
 from .reference import (
     banded_gat_ref,
     banded_spmm_ref,
+    banded_transformer_edge_ref,
     banded_transformer_ref,
 )
 
@@ -15,7 +17,9 @@ __all__ = [
     "banded_spmm",
     "banded_gat",
     "banded_transformer",
+    "banded_transformer_edge",
     "banded_spmm_ref",
     "banded_gat_ref",
     "banded_transformer_ref",
+    "banded_transformer_edge_ref",
 ]

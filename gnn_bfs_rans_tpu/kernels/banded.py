@@ -1,21 +1,26 @@
 """Pallas TPU kernels: banded SpMM aggregation and fused banded attention.
 
 These are the hot-op kernels of the framework (BASELINE.json north star:
-"message passing becomes Pallas kernels").  After RCM reordering (bandwidth
-≪ TILE), the entire neighbor structure of a tile of 128 destination nodes
-lives in the 3 surrounding node tiles, so
+"message passing becomes Pallas kernels").  After RCM reordering the graph is
+band-limited: every sender of a tile of ``T`` consecutive destination nodes
+lives in a window of ``W = 2·k0+1`` consecutive node tiles (W=3 for the BFS
+mesh, bandwidth 58 ≪ 128; W=5 covers 3-D hex meshes with bandwidth ≤ 2·T —
+see ``graph.band``), so
 
 * **banded SpMM** (GCN/GIN aggregation):
-  ``out[t] = Σ_k A[t,k] @ x[t−1+k]`` — three dense 128×128 MXU matmuls per
+  ``out[t] = Σ_k A[t,k] @ x[t−k0+k]`` — W dense 128×128 MXU matmuls per
   tile, no gather/scatter;
 * **banded attention** (GAT / Graph-Transformer): per tile, per head —
-  dense [T, 3T] logits (additive for GAT, scaled-dot-product via MXU for
+  dense [T, W·T] logits (additive for GAT, scaled-dot-product via MXU for
   Transformer) + additive −1e30 sparsity mask, numerically-stable softmax in
-  VMEM, then [T,3T] @ [3T,C] weighted sum.  A flash-attention-style fused
-  kernel: per-edge logits/weights never touch HBM.
+  VMEM, then [T, W·T] @ [W·T, C] weighted sum.  A flash-attention-style fused
+  kernel: per-edge logits/weights never touch HBM.  The Transformer variant
+  optionally conditions logits and values on banded edge features
+  (``graph.band.edge``) — the edge projection is factored so only D_e≈4
+  extra [T,T] planes stream per window block (see ``banded_transformer``).
 
-The three x-window tiles are expressed as three *blocked* input specs over a
-zero-padded x (one tile of padding top and bottom), so Pallas pipelines the
+The W x-window tiles are expressed as W *blocked* input specs over a
+zero-padded x (k0 tiles of padding top and bottom), so Pallas pipelines the
 HBM→VMEM streaming automatically — no manual DMA needed.
 
 Backward passes route through ``jax.custom_vjp`` with the mathematically
@@ -33,52 +38,61 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pad_windows(x: jax.Array, tile: int) -> jax.Array:
-    """Zero-pad one tile of rows on each side so window tiles never clamp."""
-    return jnp.pad(x, ((tile, tile), (0, 0)))
+def _pad_windows(x: jax.Array, tile: int, k0: int = 1) -> jax.Array:
+    """Zero-pad k0 tiles of rows on each side so window tiles never clamp."""
+    return jnp.pad(x, ((k0 * tile, k0 * tile), (0, 0)))
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _window_specs(window: int, tile: int, feat: int):
+    """W blocked input specs over a k0-padded array: block k ↦ tile i+k."""
+    return [
+        pl.BlockSpec((tile, feat), lambda i, k=k: (i + k, 0),
+                     memory_space=pltpu.VMEM)
+        for k in range(window)
+    ]
+
+
 # --------------------------------------------------------------------- SpMM
-def _spmm_kernel(a_ref, xl_ref, xm_ref, xr_ref, o_ref):
+def _spmm_kernel(a_ref, *refs, window):
+    xs, o_ref = refs[:window], refs[window]
     a = a_ref[0]
-    acc = jnp.dot(a[0], xl_ref[:], preferred_element_type=jnp.float32)
-    acc += jnp.dot(a[1], xm_ref[:], preferred_element_type=jnp.float32)
-    acc += jnp.dot(a[2], xr_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.dot(a[0], xs[0][:], preferred_element_type=jnp.float32)
+    for k in range(1, window):
+        acc += jnp.dot(a[k], xs[k][:], preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def banded_spmm_fwd(band_coeff: jax.Array, x: jax.Array) -> jax.Array:
     """out = BandMatrix(band_coeff) @ x.
 
-    band_coeff: [n_tiles, 3, T, T]; x: [n_tiles*T, H] → out same shape as x.
+    band_coeff: [n_tiles, W, T, T]; x: [n_tiles*T, H] → out same shape as x.
     """
-    n_tiles, _, tile, _ = band_coeff.shape
+    n_tiles, window, tile, _ = band_coeff.shape
+    k0 = window // 2
     h = x.shape[1]
-    xp = _pad_windows(x, tile)
+    xp = _pad_windows(x, tile, k0)
     return pl.pallas_call(
-        _spmm_kernel,
+        functools.partial(_spmm_kernel, window=window),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 3, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            *_window_specs(window, tile, h),
         ],
         out_specs=pl.BlockSpec((tile, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * 3 * tile * tile * h,
-            bytes_accessed=band_coeff.size * 4 + 4 * x.size * 4,
+            flops=2 * n_tiles * window * tile * tile * h,
+            bytes_accessed=band_coeff.size * 4 + (window + 1) * x.size * 4,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(band_coeff, xp, xp, xp)
+    )(band_coeff, *([xp] * window))
 
 
 @jax.custom_vjp
@@ -93,19 +107,20 @@ def _spmm_vjp_fwd(band_coeff, x):
 def _spmm_vjp_bwd(band_coeff, g):
     # d/dx (A @ x) ᵀ-applied: Aᵀ @ g.  Our band matrices (GCN/GIN adjacency)
     # are symmetric, but transpose the band structure anyway for generality:
-    # block (t, k) of Aᵀ = block (t−1+k, 2−k)ᵀ of A.
+    # block (t, k) of Aᵀ = block (t−k0+k, W−1−k)ᵀ of A.
     at = _transpose_band(band_coeff)
     return None, banded_spmm_fwd(at, g)
 
 
 def _transpose_band(band: jax.Array) -> jax.Array:
-    n_tiles = band.shape[0]
-    # target[t, k] = source[t-1+k, 2-k]^T ; out-of-range source tiles are zero
-    padded = jnp.pad(band, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    n_tiles, window = band.shape[:2]
+    k0 = window // 2
+    # target[t, k] = source[t−k0+k, W−1−k]^T ; out-of-range source tiles → 0
+    padded = jnp.pad(band, ((k0, k0), (0, 0), (0, 0), (0, 0)))
     idx = jnp.arange(n_tiles)
     blocks = []
-    for k in range(3):
-        src = padded[idx + k, 2 - k]            # [n_tiles, T, T]
+    for k in range(window):
+        src = padded[idx + k, window - 1 - k]   # [n_tiles, T, T]
         blocks.append(jnp.swapaxes(src, -1, -2))
     return jnp.stack(blocks, axis=1)
 
@@ -114,32 +129,36 @@ banded_spmm.defvjp(_spmm_vjp_fwd, _spmm_vjp_bwd)
 
 
 # ---------------------------------------------------------- GAT attention
-def _gat_kernel(bias_ref, asrc_l, asrc_m, asrc_r, adst_ref,
-                zl_ref, zm_ref, zr_ref, o_ref, *, heads, negative_slope):
+def _gat_kernel(*refs, window, heads, negative_slope):
+    bias_ref = refs[0]
+    asrc = refs[1:1 + window]
+    adst_ref = refs[1 + window]
+    zs = refs[2 + window:2 + 2 * window]
+    o_ref = refs[2 + 2 * window]
     tile = adst_ref.shape[0]
-    c = zl_ref.shape[1] // heads
-    bias = bias_ref[0]  # [3, T, T]
+    c = zs[0].shape[1] // heads
+    bias = bias_ref[0]  # [W, T, T]
     outs = []
     for h in range(heads):
         # additive logits: a_dst[i] + a_src[j], per window block
         a_d = adst_ref[:, h][:, None]                       # [T, 1]
         logits = []
-        for k, asrc in enumerate((asrc_l, asrc_m, asrc_r)):
-            a_s = asrc[:, h][None, :]                       # [1, T]
+        for k in range(window):
+            a_s = asrc[k][:, h][None, :]                    # [1, T]
             l = a_d + a_s
             l = jnp.where(l >= 0, l, negative_slope * l)    # LeakyReLU
             logits.append(l + bias[k])
-        full = jnp.concatenate(logits, axis=1)              # [T, 3T]
+        full = jnp.concatenate(logits, axis=1)              # [T, WT]
         m = jnp.max(full, axis=1, keepdims=True)
         e = jnp.exp(full - m)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         p = e / denom
-        acc = jnp.dot(p[:, :tile], zl_ref[:, h * c:(h + 1) * c],
+        acc = jnp.dot(p[:, :tile], zs[0][:, h * c:(h + 1) * c],
                       preferred_element_type=jnp.float32)
-        acc += jnp.dot(p[:, tile:2 * tile], zm_ref[:, h * c:(h + 1) * c],
-                       preferred_element_type=jnp.float32)
-        acc += jnp.dot(p[:, 2 * tile:], zr_ref[:, h * c:(h + 1) * c],
-                       preferred_element_type=jnp.float32)
+        for k in range(1, window):
+            acc += jnp.dot(p[:, k * tile:(k + 1) * tile],
+                           zs[k][:, h * c:(h + 1) * c],
+                           preferred_element_type=jnp.float32)
         outs.append(acc)
     o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
@@ -153,54 +172,79 @@ def banded_gat_fwd(
     negative_slope: float = 0.2,
 ) -> jax.Array:
     """Fused GAT attention-aggregate over the band; returns [N, H*C]."""
-    n_tiles, _, tile, _ = bias_self.shape
+    n_tiles, window, tile, _ = bias_self.shape
+    k0 = window // 2
     hc = z.shape[1]
-    zp = _pad_windows(z, tile)
-    ap = _pad_windows(alpha_src, tile)
+    zp = _pad_windows(z, tile, k0)
+    ap = _pad_windows(alpha_src, tile, k0)
     kernel = functools.partial(
-        _gat_kernel, heads=heads, negative_slope=negative_slope
+        _gat_kernel, window=window, heads=heads, negative_slope=negative_slope
     )
     h = alpha_src.shape[1]
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 3, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            *_window_specs(window, tile, h),
             # alpha_dst is unpadded: block i addresses the tile directly
             pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            *_window_specs(window, tile, hc),
         ],
         out_specs=pl.BlockSpec((tile, hc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * heads * tile * 3 * tile * (hc // heads),
-            bytes_accessed=bias_self.size * 4 + 4 * z.size * 4,
-            transcendentals=n_tiles * heads * tile * 3 * tile,
+            flops=2 * n_tiles * heads * tile * window * tile * (hc // heads),
+            bytes_accessed=bias_self.size * 4 + (window + 1) * z.size * 4,
+            transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(bias_self, ap, ap, ap, alpha_dst, zp, zp, zp)
+    )(bias_self, *([ap] * window), alpha_dst, *([zp] * window))
 
 
 # ------------------------------------------------- Transformer attention
-def _transformer_kernel(bias_ref, q_ref, kl_ref, km_ref, kr_ref,
-                        vl_ref, vm_ref, vr_ref, o_ref, *, heads, scale):
+def _transformer_kernel(*refs, window, heads, scale, edge_dim):
+    """Scaled-dot-product neighbor attention; optional edge conditioning.
+
+    With edge features the PyG TransformerConv semantics are
+    ``logit = q·(k_j + e_ij)·scale`` and ``out = Σ p·(v_j + e_ij)`` where
+    ``e_ij = W_e @ feat_ij``.  Both terms are factored so the kernel only
+    streams the raw D_e-dim banded features:
+
+    * logit edge term  ``q_i·e_ij = Σ_d (W_eᵀ q)_d[i] · feat_d[i,j]`` — the
+      [T, H·D_e] tensor ``qw = q @ W_e`` is computed outside in XLA;
+    * value edge term  ``Σ_j p_ij e_ij = (Σ_j p_ij feat_ij) @ W_e`` — the
+      kernel emits ``s[i, h, d] = Σ_j p_ij feat_d[i,j]`` as a second output
+      and XLA applies the tiny [D_e, C] matmul outside.
+    """
+    i = 0
+    bias_ref = refs[i]; i += 1
+    q_ref = refs[i]; i += 1
+    ks = refs[i:i + window]; i += window
+    vs = refs[i:i + window]; i += window
+    if edge_dim:
+        feat_ref = refs[i]; i += 1   # [1, W, D_e, T, T]
+        qw_ref = refs[i]; i += 1     # [T, H*D_e]
+        o_ref, s_ref = refs[i], refs[i + 1]
+    else:
+        o_ref = refs[i]
     tile = q_ref.shape[0]
     c = q_ref.shape[1] // heads
     bias = bias_ref[0]
     outs = []
+    souts = []
     for h in range(heads):
         q = q_ref[:, h * c:(h + 1) * c]
         logits = []
-        for k, kref in enumerate((kl_ref, km_ref, kr_ref)):
-            kk = kref[:, h * c:(h + 1) * c]
+        for k in range(window):
+            kk = ks[k][:, h * c:(h + 1) * c]
             l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
+            if edge_dim:
+                for d in range(edge_dim):
+                    qw_d = qw_ref[:, h * edge_dim + d][:, None]  # [T, 1]
+                    l += (qw_d * scale) * feat_ref[0, k, d]
             logits.append(l + bias[k])
         full = jnp.concatenate(logits, axis=1)
         m = jnp.max(full, axis=1, keepdims=True)
@@ -210,14 +254,26 @@ def _transformer_kernel(bias_ref, q_ref, kl_ref, km_ref, kr_ref,
         e = jnp.where(full <= -1e29, 0.0, e)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         p = e / denom
-        acc = jnp.dot(p[:, :tile], vl_ref[:, h * c:(h + 1) * c],
+        acc = jnp.dot(p[:, :tile], vs[0][:, h * c:(h + 1) * c],
                       preferred_element_type=jnp.float32)
-        acc += jnp.dot(p[:, tile:2 * tile], vm_ref[:, h * c:(h + 1) * c],
-                       preferred_element_type=jnp.float32)
-        acc += jnp.dot(p[:, 2 * tile:], vr_ref[:, h * c:(h + 1) * c],
-                       preferred_element_type=jnp.float32)
+        for k in range(1, window):
+            acc += jnp.dot(p[:, k * tile:(k + 1) * tile],
+                           vs[k][:, h * c:(h + 1) * c],
+                           preferred_element_type=jnp.float32)
         outs.append(acc)
+        if edge_dim:
+            ss = []
+            for d in range(edge_dim):
+                sd = jnp.zeros((tile, 1), jnp.float32)
+                for k in range(window):
+                    pk = p[:, k * tile:(k + 1) * tile]
+                    sd += jnp.sum(pk * feat_ref[0, k, d], axis=1,
+                                  keepdims=True)
+                ss.append(sd)
+            souts.append(jnp.concatenate(ss, axis=1))  # [T, D_e]
     o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    if edge_dim:
+        s_ref[:] = jnp.concatenate(souts, axis=1).astype(s_ref.dtype)
 
 
 def banded_transformer_fwd(
@@ -226,147 +282,68 @@ def banded_transformer_fwd(
     k: jax.Array,   # [N, H*C]
     v: jax.Array,   # [N, H*C]
     heads: int,
-) -> jax.Array:
-    """Fused scaled-dot-product neighbor attention over the band → [N, H*C]."""
-    n_tiles, _, tile, _ = bias_noself.shape
+    edge_band: jax.Array | None = None,   # [n_tiles, W, D_e, T, T]
+    qw: jax.Array | None = None,          # [N, H*D_e] = per-head q @ W_e^T
+):
+    """Fused scaled-dot-product neighbor attention over the band.
+
+    Returns [N, H*C]; with edge conditioning returns a second array
+    ``s`` [N, H*D_e] of attention-weighted edge features (see kernel doc).
+    """
+    n_tiles, window, tile, _ = bias_noself.shape
+    k0 = window // 2
     hc = q.shape[1]
     c = hc // heads
-    kp = _pad_windows(k, tile)
-    vp = _pad_windows(v, tile)
+    kp = _pad_windows(k, tile, k0)
+    vp = _pad_windows(v, tile, k0)
+    edge_dim = 0
+    extra = []
+    extra_specs = []
+    if edge_band is not None:
+        edge_dim = edge_band.shape[2]
+        extra = [edge_band, qw]
+        extra_specs = [
+            pl.BlockSpec((1, window, edge_dim, tile, tile),
+                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     kernel = functools.partial(
-        _transformer_kernel, heads=heads, scale=1.0 / (c ** 0.5)
+        _transformer_kernel, window=window, heads=heads,
+        scale=1.0 / (c ** 0.5), edge_dim=edge_dim,
     )
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    out_spec = pl.BlockSpec((tile, hc), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if edge_dim:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((q.shape[0], heads * edge_dim),
+                                          jnp.float32))
+        out_spec = (out_spec,
+                    pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    edge_bytes = edge_band.size * edge_band.dtype.itemsize if edge_dim else 0
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 3, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            *_window_specs(window, tile, hc),
+            *_window_specs(window, tile, hc),
+            *extra_specs,
         ],
-        out_specs=pl.BlockSpec((tile, hc), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_tiles * heads * tile * 3 * tile * c,
-            bytes_accessed=bias_noself.size * 4 + 6 * q.size * 4,
-            transcendentals=n_tiles * heads * tile * 3 * tile,
+            flops=4 * n_tiles * heads * tile * window * tile * c,
+            bytes_accessed=bias_noself.size * 4 + 2 * (window + 1) * q.size * 4
+            + edge_bytes,
+            transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(bias_noself, q, kp, kp, kp, vp, vp, vp)
-
-
-# ----------------------------------- rolling-window GAT (single z read)
-def _gat_roll_kernel(bias_ref, asrc_l, asrc_m, asrc_r, adst_ref, z_hbm,
-                     o_ref, ring, sem, *, heads, negative_slope):
-    """GAT attention with a persistent VMEM ring over z window tiles.
-
-    TPU grid steps run sequentially on the core, so scratch persists: step i
-    DMAs only the one new window tile (i+2 in padded coords) instead of
-    streaming all three — 3× less HBM traffic on the [N, H*C] values, which
-    dominates the fused kernel's bandwidth.
-    """
-    i = pl.program_id(0)
-    tile = adst_ref.shape[0]
-
-    def dma(padded_tile, slot):
-        return pltpu.make_async_copy(
-            z_hbm.at[pl.ds(padded_tile * tile, tile), :],
-            ring.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(i == 0)
-    def _():
-        for k in range(3):
-            dma(k, k).start()
-        for k in range(3):
-            dma(k, k).wait()
-
-    @pl.when(i > 0)
-    def _():
-        slot = (i + 2) % 3
-        dma(i + 2, slot).start()
-        dma(i + 2, slot).wait()
-
-    bias = bias_ref[0]
-    c = ring.shape[2] // heads
-    outs = []
-    for h in range(heads):
-        a_d = adst_ref[:, h][:, None]
-        logits = []
-        for k, asrc in enumerate((asrc_l, asrc_m, asrc_r)):
-            a_s = asrc[:, h][None, :]
-            l = a_d + a_s
-            l = jnp.where(l >= 0, l, negative_slope * l)
-            logits.append(l + bias[k])
-        full = jnp.concatenate(logits, axis=1)
-        m = jnp.max(full, axis=1, keepdims=True)
-        e = jnp.exp(full - m)
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        p = (e / denom).astype(ring.dtype)
-        acc = None
-        for k in range(3):
-            slot = (i + k) % 3
-            part = jnp.dot(
-                p[:, k * tile:(k + 1) * tile],
-                ring[slot][:, h * c:(h + 1) * c],
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
-        outs.append(acc)
-    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
-
-
-def banded_gat_fwd_rolling(
-    bias_self: jax.Array,
-    z: jax.Array,
-    alpha_src: jax.Array,
-    alpha_dst: jax.Array,
-    heads: int,
-    negative_slope: float = 0.2,
-) -> jax.Array:
-    n_tiles, _, tile, _ = bias_self.shape
-    hc = z.shape[1]
-    h = alpha_src.shape[1]
-    zp = _pad_windows(z, tile)
-    ap = _pad_windows(alpha_src, tile)
-    kernel = functools.partial(
-        _gat_roll_kernel, heads=heads, negative_slope=negative_slope
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 3, tile, tile), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # zp stays in HBM
-        ],
-        out_specs=pl.BlockSpec((tile, hc), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((3, tile, hc), z.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * heads * tile * 3 * tile * (hc // heads),
-            bytes_accessed=bias_self.size * bias_self.dtype.itemsize
-            + 2 * z.size * z.dtype.itemsize,
-            transcendentals=n_tiles * heads * tile * 3 * tile,
-        ),
-        interpret=_use_interpret(),
-    )(bias_self, ap, ap, ap, alpha_dst, zp)
+    )(bias_noself, q, *([kp] * window), *([vp] * window), *extra)
 
 
 # ----------------------------------------------- differentiable wrappers
@@ -375,24 +352,15 @@ def banded_gat_fwd_rolling(
 # masks are constants of the static graph, so only the feature inputs carry
 # cotangents).
 
-def _gat_dispatch(bias_self, z, alpha_src, alpha_dst, heads, negative_slope):
-    # The streaming variant reads the z window three times, but Mosaic's
-    # automatic block pipelining overlaps those fetches with compute; measured
-    # on v5e it beats the rolling-ring variant (banded_gat_fwd_rolling), whose
-    # manual DMA serializes against the matmuls.  Keep streaming as default.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2):
     return banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
                           negative_slope)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2):
-    return _gat_dispatch(bias_self, z, alpha_src, alpha_dst, heads,
-                         negative_slope)
-
-
 def _gat_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope):
-    out = _gat_dispatch(bias_self, z, alpha_src, alpha_dst, heads,
-                        negative_slope)
+    out = banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+                         negative_slope)
     return out, (bias_self, z, alpha_src, alpha_dst)
 
 
@@ -436,3 +404,40 @@ def _tr_vjp_bwd(heads, res, g):
 
 
 banded_transformer.defvjp(_tr_vjp_fwd, _tr_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def banded_transformer_edge(bias_noself, edge_band, q, k, v, qw, heads):
+    """Edge-conditioned banded transformer attention → (out [N,H*C], s [N,H*D_e]).
+
+    ``qw = per-head q @ W_e`` carries the logit edge term; ``s`` is the
+    attention-weighted raw edge feature sum, to be projected by W_e outside
+    (out_total = out + einsum('nhd,dhc->nhc', s, W_e)).  First-class edge
+    conditioning the reference computed but never used (SURVEY.md §2 quirk 3).
+    """
+    return banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                  edge_band=edge_band, qw=qw)
+
+
+def _tre_vjp_fwd(bias_noself, edge_band, q, k, v, qw, heads):
+    out = banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                 edge_band=edge_band, qw=qw)
+    return out, (bias_noself, edge_band, q, k, v, qw)
+
+
+def _tre_vjp_bwd(heads, res, g):
+    from .reference import banded_transformer_edge_ref
+
+    bias_noself, edge_band, q, k, v, qw = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, w_: banded_transformer_edge_ref(
+            bias_noself, edge_band, q_, k_, v_, w_, heads
+        ),
+        q, k, v, qw,
+    )
+    dq, dk, dv, dqw = vjp(g)
+    return (jnp.zeros_like(bias_noself), jnp.zeros_like(edge_band),
+            dq, dk, dv, dqw)
+
+
+banded_transformer_edge.defvjp(_tre_vjp_fwd, _tre_vjp_bwd)

@@ -3,6 +3,9 @@
 Used (a) as allclose ground truth in kernel tests and (b) as the VJP bodies
 for the Pallas forward kernels (the band masks are graph constants, so the
 backward of the fused attention kernels is just the VJP of this math).
+
+All functions read the window width ``W = 2·k0+1`` from the band tensor's
+second axis, matching the generic kernels in :mod:`.banded`.
 """
 
 from __future__ import annotations
@@ -11,27 +14,27 @@ import jax
 import jax.numpy as jnp
 
 
-def _windows(x: jax.Array, tile: int) -> jax.Array:
-    """[N, F] → [n_tiles, 3T, F] overlapping windows (zero-padded ends)."""
+def _windows(x: jax.Array, tile: int, window: int) -> jax.Array:
+    """[N, F] → [n_tiles, W·T, F] overlapping windows (zero-padded ends)."""
+    k0 = window // 2
     n_tiles = x.shape[0] // tile
-    xp = jnp.pad(x, ((tile, tile), (0, 0)))
-    xr = xp.reshape(n_tiles + 2, tile, x.shape[1])
-    return jnp.concatenate(
-        [xr[:-2], xr[1:-1], xr[2:]], axis=1
-    )  # [n_tiles, 3T, F]
+    xp = jnp.pad(x, ((k0 * tile, k0 * tile), (0, 0)))
+    xr = xp.reshape(n_tiles + 2 * k0, tile, x.shape[1])
+    parts = [xr[k:k + n_tiles] for k in range(window)]
+    return jnp.concatenate(parts, axis=1)  # [n_tiles, W·T, F]
 
 
 def _bias_rows(bias: jax.Array) -> jax.Array:
-    """[n_tiles, 3, T, T] → [n_tiles, T, 3T] (row-major window columns)."""
+    """[n_tiles, W, T, T] → [n_tiles, T, W·T] (row-major window columns)."""
     return jnp.swapaxes(bias, 1, 2).reshape(
-        bias.shape[0], bias.shape[2], 3 * bias.shape[3]
+        bias.shape[0], bias.shape[2], bias.shape[1] * bias.shape[3]
     )
 
 
 def banded_spmm_ref(band_coeff: jax.Array, x: jax.Array) -> jax.Array:
-    n_tiles, _, tile, _ = band_coeff.shape
-    win = _windows(x, tile)                               # [n, 3T, H]
-    a = _bias_rows(band_coeff)                            # [n, T, 3T] (coeffs)
+    n_tiles, window, tile, _ = band_coeff.shape
+    win = _windows(x, tile, window)                       # [n, WT, H]
+    a = _bias_rows(band_coeff)                            # [n, T, WT] (coeffs)
     return jnp.einsum("ntw,nwh->nth", a, win).reshape(x.shape)
 
 
@@ -43,21 +46,39 @@ def banded_gat_ref(
     heads: int,
     negative_slope: float = 0.2,
 ) -> jax.Array:
-    n_tiles, _, tile, _ = bias_self.shape
+    n_tiles, window, tile, _ = bias_self.shape
     n, hc = z.shape
     c = hc // heads
-    win_z = _windows(z, tile).reshape(n_tiles, 3 * tile, heads, c)
-    win_a = _windows(alpha_src, tile)                     # [n, 3T, H]
+    win_z = _windows(z, tile, window).reshape(n_tiles, window * tile, heads, c)
+    win_a = _windows(alpha_src, tile, window)             # [n, WT, H]
     a_d = alpha_dst.reshape(n_tiles, tile, heads)
-    logits = a_d[:, :, None, :] + win_a[:, None, :, :]    # [n, T, 3T, H]
+    logits = a_d[:, :, None, :] + win_a[:, None, :, :]    # [n, T, WT, H]
     logits = jnp.where(logits >= 0, logits, negative_slope * logits)
     logits = logits + _bias_rows(bias_self)[..., None]
     m = jnp.max(logits, axis=2, keepdims=True)
     e = jnp.exp(logits - m)
     denom = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1e-16)
-    p = e / denom                                          # [n, T, 3T, H]
+    p = e / denom                                          # [n, T, WT, H]
     out = jnp.einsum("ntwh,nwhc->nthc", p, win_z)
     return out.reshape(n, hc)
+
+
+def _transformer_attn(bias_noself, q, k, heads, extra_logit=None):
+    """Shared attention-weight computation → p [n, T, WT, H]."""
+    n_tiles, window, tile, _ = bias_noself.shape
+    n, hc = q.shape
+    c = hc // heads
+    qh = q.reshape(n_tiles, tile, heads, c)
+    win_k = _windows(k, tile, window).reshape(n_tiles, window * tile, heads, c)
+    logits = jnp.einsum("nthc,nwhc->ntwh", qh, win_k) / (c ** 0.5)
+    if extra_logit is not None:
+        logits = logits + extra_logit
+    logits = logits + _bias_rows(bias_noself)[..., None]
+    m = jnp.maximum(jnp.max(logits, axis=2, keepdims=True), -1e30)
+    e = jnp.exp(logits - m)
+    e = jnp.where(logits <= -1e29, 0.0, e)
+    denom = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1e-16)
+    return e / denom
 
 
 def banded_transformer_ref(
@@ -67,18 +88,42 @@ def banded_transformer_ref(
     v: jax.Array,
     heads: int,
 ) -> jax.Array:
-    n_tiles, _, tile, _ = bias_noself.shape
+    n_tiles, window, tile, _ = bias_noself.shape
     n, hc = q.shape
     c = hc // heads
-    qh = q.reshape(n_tiles, tile, heads, c)
-    win_k = _windows(k, tile).reshape(n_tiles, 3 * tile, heads, c)
-    win_v = _windows(v, tile).reshape(n_tiles, 3 * tile, heads, c)
-    logits = jnp.einsum("nthc,nwhc->ntwh", qh, win_k) / (c ** 0.5)
-    logits = logits + _bias_rows(bias_noself)[..., None]
-    m = jnp.maximum(jnp.max(logits, axis=2, keepdims=True), -1e30)
-    e = jnp.exp(logits - m)
-    e = jnp.where(logits <= -1e29, 0.0, e)
-    denom = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1e-16)
-    p = e / denom
+    p = _transformer_attn(bias_noself, q, k, heads)
+    win_v = _windows(v, tile, window).reshape(n_tiles, window * tile, heads, c)
     out = jnp.einsum("ntwh,nwhc->nthc", p, win_v)
     return out.reshape(n, hc)
+
+
+def banded_transformer_edge_ref(
+    bias_noself: jax.Array,
+    edge_band: jax.Array,   # [n_tiles, W, D_e, T, T]
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    qw: jax.Array,          # [N, H*D_e]
+    heads: int,
+):
+    """Edge-conditioned variant → (out [N, H*C], s [N, H*D_e]).
+
+    Matches ``banded.banded_transformer_edge``: the logit gains
+    ``scale · Σ_d qw_d · feat_d`` and ``s`` is the attention-weighted raw
+    edge-feature sum (projected by W_e outside the kernel).
+    """
+    n_tiles, window, tile, _ = bias_noself.shape
+    n, hc = q.shape
+    c = hc // heads
+    d_e = edge_band.shape[2]
+    # feat rows: [n, T, WT, D_e]
+    feat = jnp.transpose(edge_band, (0, 3, 1, 4, 2)).reshape(
+        n_tiles, tile, window * tile, d_e
+    ).astype(jnp.float32)
+    qwh = qw.reshape(n_tiles, tile, heads, d_e).astype(jnp.float32)
+    extra = jnp.einsum("nthd,ntwd->ntwh", qwh, feat) / (c ** 0.5)
+    p = _transformer_attn(bias_noself, q, k, heads, extra_logit=extra)
+    win_v = _windows(v, tile, window).reshape(n_tiles, window * tile, heads, c)
+    out = jnp.einsum("ntwh,nwhc->nthc", p, win_v).reshape(n, hc)
+    s = jnp.einsum("ntwh,ntwd->nthd", p, feat).reshape(n, heads * d_e)
+    return out, s

@@ -280,20 +280,43 @@ class TransformerConv(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.asarray(C, x.dtype))
 
         edge_kv = None
+        lin_edge = None
         if self.edge_dim is not None:
-            edge_kv = _lecun_linear(H * C, use_bias=False, name="lin_edge",
-                                    dtype=self.dtype)(
-                graph.edge_feat
-            ).reshape(-1, H, C)
+            lin_edge = _lecun_linear(H * C, use_bias=False, name="lin_edge",
+                                     dtype=self.dtype)
 
-        use_pallas = (
+        band_ok = (
             self.backend == "pallas"
             and graph.band is not None
             and graph.band.bias_noself is not None
-            and edge_kv is None  # band layout carries no per-edge embeddings
             and (deterministic or self.dropout == 0)
+            # edge conditioning needs the banded edge-feature tensor
+            and (self.edge_dim is None or graph.band.edge is not None)
         )
-        if use_pallas:
+        if lin_edge is not None and not band_ok:
+            edge_kv = lin_edge(graph.edge_feat).reshape(-1, H, C)
+
+        if band_ok and self.edge_dim is not None:
+            from ..kernels.banded import banded_transformer_edge
+
+            d_e = self.edge_dim
+            # recover W_e [D_e, H*C] from the shared Dense (lin_edge(I) = W_e)
+            # so parameter naming stays identical across backends
+            w_e = lin_edge(jnp.eye(d_e, dtype=x.dtype)).reshape(d_e, H, C)
+            qw = jnp.einsum("nhc,dhc->nhd", q, w_e).reshape(-1, H * d_e)
+            out, s = banded_transformer_edge(
+                graph.band.bias_noself,
+                graph.band.edge,
+                q.reshape(-1, H * C),
+                k.reshape(-1, H * C),
+                v.reshape(-1, H * C),
+                qw,
+                H,
+            )
+            out = out.reshape(-1, H, C) + jnp.einsum(
+                "nhd,dhc->nhc", s.reshape(-1, H, d_e), w_e.astype(s.dtype)
+            ).astype(out.dtype).reshape(-1, H, C)
+        elif band_ok:
             from ..kernels.banded import banded_transformer
 
             out = banded_transformer(

@@ -7,8 +7,9 @@ the reference claims ~10k–100k cells single-device capacity
 (``THEORY_AND_METHODS.md:508``); this framework targets millions.
 
 Grid cells are numbered row-major with ``nx`` columns, so the adjacency is
-already banded with bandwidth ``nx`` — choose ``nx < tile`` (default 96) and
-the banded Pallas kernels apply without reordering.
+already banded with bandwidth ``nx`` — ``nx < tile`` (default 96) gives the
+3-tile-window kernels; wider grids up to ``nx ≤ 2·tile`` use the 5-tile
+window (see ``graph.band``) without reordering.
 """
 
 from __future__ import annotations
@@ -48,9 +49,10 @@ def build_grid_graph(
         senders, receivers, edge_feat, coords,
         node_align=tile, edge_align=tile,
     )
-    if with_band and nx < tile:
+    if with_band:
         from ..graph.band import ALL_COMPONENTS
 
+        comps = band_components or ALL_COMPONENTS
         band = build_band(
             np.asarray(graph.senders)[: graph.n_edges],
             np.asarray(graph.receivers)[: graph.n_edges],
@@ -58,7 +60,9 @@ def build_grid_graph(
             np.asarray(graph.node_mask),
             np.asarray(graph.in_degree),
             tile=tile,
-            components=band_components or ALL_COMPONENTS,
+            components=comps,
+            edge_feat=(np.asarray(graph.edge_feat)[: graph.n_edges]
+                       if "edge" in comps else None),
         )
         if band is not None:
             graph = dataclasses.replace(graph, band=band)

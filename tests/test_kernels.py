@@ -25,22 +25,23 @@ from gnn_bfs_rans_tpu.kernels.reference import (
 )
 
 
-def _band_graph(n=64, tile=16, seed=0):
-    """A banded random graph: edges only between nearby indices."""
+def _band_graph(n=64, tile=16, seed=0, width=None):
+    """A banded random graph: edges only between indices within ``width``."""
     rng = np.random.default_rng(seed)
+    width = width if width is not None else tile
     src, dst = [], []
     for i in range(n):
-        for j in range(max(0, i - tile + 1), min(n, i + tile)):
+        for j in range(max(0, i - width + 1), min(n, i + width)):
             if i != j and rng.random() < 0.3:
                 src.append(j)
                 dst.append(i)
     # symmetrize
     pairs = set(zip(src, dst)) | set(zip(dst, src))
-    # ensure no isolated nodes: ring edges
-    for i in range(n):
-        pairs.add((i, (i + 1) % n)) if abs(i - (i + 1) % n) < tile else None
-        pairs.add(((i + 1) % n, i)) if abs(i - (i + 1) % n) < tile else None
-    pairs = {(s, d) for s, d in pairs if abs(s - d) < tile}
+    # ensure no isolated nodes: chain edges
+    for i in range(n - 1):
+        pairs.add((i, i + 1))
+        pairs.add((i + 1, i))
+    pairs = {(s, d) for s, d in pairs if abs(s - d) < width}
     src = np.array([p[0] for p in sorted(pairs)], dtype=np.int32)
     dst = np.array([p[1] for p in sorted(pairs)], dtype=np.int32)
     node_feat = rng.normal(size=(n, 3)).astype(np.float32)
@@ -54,6 +55,7 @@ def _band_graph(n=64, tile=16, seed=0):
         np.asarray(g.node_mask),
         np.asarray(g.in_degree),
         tile=tile,
+        edge_feat=np.asarray(g.edge_feat)[: g.n_edges],
     )
     assert band is not None
     g = dataclasses.replace(g, band=band)
@@ -66,15 +68,23 @@ class TestBandConstruction:
         band = g.band
         assert float(jnp.sum(band.adj.astype(jnp.float32))) == g.n_edges
 
-    def test_band_rejects_wide_graph(self):
-        # an edge wider than the tile → band must refuse
-        src = np.array([0, 40], dtype=np.int32)
-        dst = np.array([40, 0], dtype=np.int32)
+    def test_wide_edges_widen_window(self):
+        # an edge 2.5 tiles wide → 5-tile window
+        src = np.array([0, 40, 0, 1], dtype=np.int32)
+        dst = np.array([40, 0, 1, 0], dtype=np.int32)
         band = build_band(src, dst, 48, np.ones(48, bool), np.ones(48), tile=16)
+        assert band is not None and band.window == 5
+
+    def test_band_rejects_too_wide_graph(self):
+        # an edge wider than max_window_tiles allows → band must refuse
+        src = np.array([0, 90], dtype=np.int32)
+        dst = np.array([90, 0], dtype=np.int32)
+        band = build_band(src, dst, 96, np.ones(96, bool), np.ones(96), tile=16)
         assert band is None
 
-    def test_gcn_coeffs_match_dense(self):
-        g = _band_graph()
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_gcn_coeffs_match_dense(self, width):
+        g = _band_graph(width=width)
         n = g.n_nodes
         band = g.band
         # dense Â normalized
@@ -88,20 +98,36 @@ class TestBandConstruction:
         expected = inv[:, None] * A * inv[None, :]
         # reconstruct dense from band
         tile = band.tile
+        k0 = band.window // 2
         got = np.zeros_like(expected)
         bn = np.asarray(band.gcn)
         for t in range(band.n_tiles):
-            for k in range(3):
-                c0 = (t - 1 + k) * tile
+            for k in range(band.window):
+                c0 = (t - k0 + k) * tile
                 if c0 < 0 or c0 >= g.n_pad:
                     continue
                 got[t * tile:(t + 1) * tile, c0:c0 + tile] = bn[t, k]
         np.testing.assert_allclose(got[:n, :n], expected[:n, :n], rtol=1e-5)
 
+    def test_edge_band_roundtrip(self):
+        g = _band_graph()
+        band = g.band
+        assert band.edge is not None
+        tile, k0 = band.tile, band.window // 2
+        s = np.asarray(g.senders)[: g.n_edges]
+        r = np.asarray(g.receivers)[: g.n_edges]
+        feat = np.asarray(g.edge_feat)[: g.n_edges]
+        eb = np.asarray(band.edge, dtype=np.float32)
+        t, row = r // tile, r % tile
+        k = s // tile - t + k0
+        got = eb[t, k, :, row, s % tile]
+        np.testing.assert_allclose(got, feat, rtol=1e-6)
+
 
 class TestBandedSpMM:
-    def test_matches_reference_and_dense(self):
-        g = _band_graph()
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_matches_reference_and_dense(self, width):
+        g = _band_graph(width=width)
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.normal(size=(g.n_pad, 32)).astype(np.float32))
         out_k = banded_spmm(g.band.adj, x)
@@ -135,8 +161,9 @@ class TestBandedSpMM:
 
 
 class TestBandedGAT:
-    def test_matches_reference(self):
-        g = _band_graph()
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_matches_reference(self, width):
+        g = _band_graph(width=width)
         rng = np.random.default_rng(3)
         H, C = 2, 8
         z = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
@@ -171,8 +198,9 @@ class TestBandedGAT:
 
 
 class TestBandedTransformer:
-    def test_matches_reference(self):
-        g = _band_graph()
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_matches_reference(self, width):
+        g = _band_graph(width=width)
         rng = np.random.default_rng(5)
         H, C = 2, 8
         q = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
@@ -183,22 +211,80 @@ class TestBandedTransformer:
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                    rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_edge_conditioned_matches_reference(self, width):
+        from gnn_bfs_rans_tpu.kernels.banded import banded_transformer_edge
+        from gnn_bfs_rans_tpu.kernels.reference import (
+            banded_transformer_edge_ref,
+        )
+
+        g = _band_graph(width=width)
+        rng = np.random.default_rng(7)
+        H, C, D = 2, 8, 4
+        q = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+        qw = jnp.asarray(rng.normal(size=(g.n_pad, H * D)).astype(np.float32))
+        out_k, s_k = banded_transformer_edge(
+            g.band.bias_noself, g.band.edge, q, k, v, qw, H
+        )
+        out_r, s_r = banded_transformer_edge_ref(
+            g.band.bias_noself, g.band.edge, q, k, v, qw, H
+        )
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_r),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_edge_conditioned_gradients(self):
+        from gnn_bfs_rans_tpu.kernels.banded import banded_transformer_edge
+        from gnn_bfs_rans_tpu.kernels.reference import (
+            banded_transformer_edge_ref,
+        )
+
+        g = _band_graph()
+        rng = np.random.default_rng(8)
+        H, C, D = 2, 4, 4
+        args = [
+            jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+            for _ in range(3)
+        ] + [jnp.asarray(rng.normal(size=(g.n_pad, H * D)).astype(np.float32))]
+
+        def loss(fn):
+            def inner(q_, k_, v_, w_):
+                out, s = fn(g.band.bias_noself, g.band.edge, q_, k_, v_, w_, H)
+                return jnp.sum(out ** 2) + jnp.sum(s ** 2)
+            return inner
+
+        gk = jax.grad(loss(banded_transformer_edge), argnums=(0, 1, 2, 3))(*args)
+        gr = jax.grad(loss(banded_transformer_edge_ref), argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
 
 class TestConvBackendParity:
     """pallas-backend convs must match the segment backend on a band graph."""
 
-    @pytest.mark.parametrize("layer_type", ["GCN", "GIN", "GAT", "Transformer"])
-    def test_conv_pallas_vs_segment(self, layer_type):
+    @pytest.mark.parametrize(
+        "layer_type",
+        ["GCN", "GIN", "GAT", "Transformer", "Transformer-edge"],
+    )
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_conv_pallas_vs_segment(self, layer_type, width):
         from gnn_bfs_rans_tpu.models.convs import CONV_REGISTRY
 
-        g = _band_graph()
+        g = _band_graph(width=width)
         rng = np.random.default_rng(6)
         x = jnp.asarray(rng.normal(size=(g.n_pad, 16)).astype(np.float32))
         kwargs = dict(features=16)
-        if layer_type in ("GAT", "Transformer"):
+        if layer_type.startswith(("GAT", "Transformer")):
             kwargs["heads"] = 2
         if layer_type == "Transformer":
-            kwargs["edge_dim"] = None  # band path carries no edge embeddings
+            kwargs["edge_dim"] = None
+        elif layer_type == "Transformer-edge":
+            layer_type = "Transformer"
+            kwargs["edge_dim"] = 4  # exercises the edge-conditioned kernel
         mod_s = CONV_REGISTRY[layer_type](backend="segment", **kwargs)
         variables = mod_s.init(jax.random.PRNGKey(0), x, g)
         out_s = mod_s.apply(variables, x, g)

@@ -20,9 +20,13 @@ class TestGridGraph:
         assert g.band is not None
         assert float(np.asarray(g.band.adj, dtype=np.float64).sum()) == g.n_edges
 
-    def test_band_skipped_when_wide(self):
-        # nx >= tile → bandwidth nx ≥ tile → no band
+    def test_band_widens_then_skips(self):
+        # tile ≤ nx ≤ 2·tile → bandwidth in (T, 2T] → 5-tile window
         g = build_grid_graph(32, 4, with_band=True, tile=16)
+        assert g.band is not None and g.band.window == 5
+        assert float(np.asarray(g.band.adj, dtype=np.float64).sum()) == g.n_edges
+        # beyond 2·tile the 5-tile cap is exceeded → no band (dense fallback)
+        g = build_grid_graph(64, 4, with_band=True, tile=16)
         assert g.band is None
 
     def test_edge_features_unit_directions(self):
