@@ -23,9 +23,11 @@ The W x-window tiles are expressed as W *blocked* input specs over a
 zero-padded x (k0 tiles of padding top and bottom), so Pallas pipelines the
 HBM→VMEM streaming automatically — no manual DMA needed.
 
-Backward passes route through ``jax.custom_vjp`` with the mathematically
-identical dense-formulation VJP (the band matrices are constants of the
-graph), so the kernels are usable under ``jax.grad`` too.
+Backward passes route through ``jax.custom_vjp`` into the **fused Pallas
+backward kernels** of :mod:`.banded_bwd` (flash-style: attention recomputed
+in VMEM, sender-side gradients emitted as per-window partials and folded by
+a cheap XLA shift-add), so the kernels are fast under ``jax.grad`` too.  The
+band matrices are constants of the static graph and receive zero cotangents.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -128,20 +131,42 @@ def _transpose_band(band: jax.Array) -> jax.Array:
 banded_spmm.defvjp(_spmm_vjp_fwd, _spmm_vjp_bwd)
 
 
+def _dropout_thresh(rate: float):
+    return jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+
+
+def _attn_dropout(p, rate: float, inv_keep: float):
+    """Drop attention entries in-kernel; ONE prng call — the backward kernels
+    regenerate the identical mask by replaying the same seed/call order."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+    return jnp.where(bits >= _dropout_thresh(rate), p * inv_keep, 0.0)
+
+
 # ---------------------------------------------------------- GAT attention
-def _gat_kernel(*refs, window, heads, negative_slope):
-    bias_ref = refs[0]
-    asrc = refs[1:1 + window]
-    adst_ref = refs[1 + window]
-    zs = refs[2 + window:2 + 2 * window]
-    o_ref = refs[2 + 2 * window]
+def _gat_kernel(*refs, window, heads, negative_slope, dropout_rate=0.0):
+    i0 = 0
+    if dropout_rate > 0:
+        seed_ref = refs[0]
+        i0 = 1
+    bias_ref = refs[i0]
+    asrc = refs[i0 + 1:i0 + 1 + window]
+    adst_ref = refs[i0 + 1 + window]
+    zs = refs[i0 + 2 + window:i0 + 2 + 2 * window]
+    o_ref = refs[i0 + 2 + 2 * window]
+    if dropout_rate > 0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        inv_keep = 1.0 / (1.0 - dropout_rate)
     tile = adst_ref.shape[0]
     c = zs[0].shape[1] // heads
     bias = bias_ref[0]  # [W, T, T]
+    # alpha tiles load as float32: logits accumulate in f32 anyway, and
+    # Mosaic rejects some bf16 sublane-broadcast patterns on [T, H] blocks
+    adst = adst_ref[:].astype(jnp.float32)
+    asrc = [a[:].astype(jnp.float32) for a in asrc]
     outs = []
     for h in range(heads):
         # additive logits: a_dst[i] + a_src[j], per window block
-        a_d = adst_ref[:, h][:, None]                       # [T, 1]
+        a_d = adst[:, h][:, None]                           # [T, 1]
         logits = []
         for k in range(window):
             a_s = asrc[k][:, h][None, :]                    # [1, T]
@@ -153,6 +178,8 @@ def _gat_kernel(*refs, window, heads, negative_slope):
         e = jnp.exp(full - m)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         p = e / denom
+        if dropout_rate > 0:
+            p = _attn_dropout(p, dropout_rate, inv_keep)
         acc = jnp.dot(p[:, :tile], zs[0][:, h * c:(h + 1) * c],
                       preferred_element_type=jnp.float32)
         for k in range(1, window):
@@ -163,6 +190,20 @@ def _gat_kernel(*refs, window, heads, negative_slope):
     o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def _seed_inputs(dropout_rate: float, seed):
+    """(extra leading inputs, extra leading specs) for in-kernel dropout."""
+    if dropout_rate <= 0:
+        return [], []
+    if _use_interpret():
+        raise NotImplementedError(
+            "in-kernel attention dropout needs the Mosaic TPU PRNG; "
+            "use the dense/segment backend on CPU"
+        )
+    if seed is None:
+        raise ValueError("dropout_rate > 0 requires a seed array")
+    return [seed], [pl.BlockSpec(memory_space=pltpu.SMEM)]
+
+
 def banded_gat_fwd(
     bias_self: jax.Array,
     z: jax.Array,          # [N, H*C] per-head values (flattened)
@@ -170,6 +211,8 @@ def banded_gat_fwd(
     alpha_dst: jax.Array,  # [N, H]
     heads: int,
     negative_slope: float = 0.2,
+    dropout_rate: float = 0.0,
+    seed: jax.Array | None = None,   # [1] int32 (required when rate > 0)
 ) -> jax.Array:
     """Fused GAT attention-aggregate over the band; returns [N, H*C]."""
     n_tiles, window, tile, _ = bias_self.shape
@@ -178,13 +221,16 @@ def banded_gat_fwd(
     zp = _pad_windows(z, tile, k0)
     ap = _pad_windows(alpha_src, tile, k0)
     kernel = functools.partial(
-        _gat_kernel, window=window, heads=heads, negative_slope=negative_slope
+        _gat_kernel, window=window, heads=heads,
+        negative_slope=negative_slope, dropout_rate=dropout_rate,
     )
     h = alpha_src.shape[1]
+    seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            *seed_specs,
             pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             *_window_specs(window, tile, h),
@@ -201,11 +247,12 @@ def banded_gat_fwd(
             transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(bias_self, *([ap] * window), alpha_dst, *([zp] * window))
+    )(*seed_in, bias_self, *([ap] * window), alpha_dst, *([zp] * window))
 
 
 # ------------------------------------------------- Transformer attention
-def _transformer_kernel(*refs, window, heads, scale, edge_dim):
+def _transformer_kernel(*refs, window, heads, scale, edge_dim,
+                        dropout_rate=0.0):
     """Scaled-dot-product neighbor attention; optional edge conditioning.
 
     With edge features the PyG TransformerConv semantics are
@@ -220,6 +267,8 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim):
       and XLA applies the tiny [D_e, C] matmul outside.
     """
     i = 0
+    if dropout_rate > 0:
+        seed_ref = refs[i]; i += 1
     bias_ref = refs[i]; i += 1
     q_ref = refs[i]; i += 1
     ks = refs[i:i + window]; i += window
@@ -230,6 +279,9 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim):
         o_ref, s_ref = refs[i], refs[i + 1]
     else:
         o_ref = refs[i]
+    if dropout_rate > 0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        inv_keep = 1.0 / (1.0 - dropout_rate)
     tile = q_ref.shape[0]
     c = q_ref.shape[1] // heads
     bias = bias_ref[0]
@@ -254,6 +306,8 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim):
         e = jnp.where(full <= -1e29, 0.0, e)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         p = e / denom
+        if dropout_rate > 0:
+            p = _attn_dropout(p, dropout_rate, inv_keep)
         acc = jnp.dot(p[:, :tile], vs[0][:, h * c:(h + 1) * c],
                       preferred_element_type=jnp.float32)
         for k in range(1, window):
@@ -284,6 +338,8 @@ def banded_transformer_fwd(
     heads: int,
     edge_band: jax.Array | None = None,   # [n_tiles, W, D_e, T, T]
     qw: jax.Array | None = None,          # [N, H*D_e] = per-head q @ W_e^T
+    dropout_rate: float = 0.0,
+    seed: jax.Array | None = None,
 ):
     """Fused scaled-dot-product neighbor attention over the band.
 
@@ -310,8 +366,9 @@ def banded_transformer_fwd(
         ]
     kernel = functools.partial(
         _transformer_kernel, window=window, heads=heads,
-        scale=1.0 / (c ** 0.5), edge_dim=edge_dim,
+        scale=1.0 / (c ** 0.5), edge_dim=edge_dim, dropout_rate=dropout_rate,
     )
+    seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
     out_spec = pl.BlockSpec((tile, hc), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -327,6 +384,7 @@ def banded_transformer_fwd(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            *seed_specs,
             pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -343,7 +401,7 @@ def banded_transformer_fwd(
             transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(bias_noself, q, *([kp] * window), *([vp] * window), *extra)
+    )(*seed_in, bias_noself, q, *([kp] * window), *([vp] * window), *extra)
 
 
 # ----------------------------------------------- differentiable wrappers
@@ -352,62 +410,66 @@ def banded_transformer_fwd(
 # masks are constants of the static graph, so only the feature inputs carry
 # cotangents).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2,
+               dropout_rate=0.0, seed=None):
     return banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
-                          negative_slope)
+                          negative_slope, dropout_rate, seed)
 
 
-def _gat_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope):
+def _gat_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope,
+                 dropout_rate, seed):
     out = banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
-                         negative_slope)
-    return out, (bias_self, z, alpha_src, alpha_dst)
+                         negative_slope, dropout_rate, seed)
+    return out, (bias_self, z, alpha_src, alpha_dst, seed)
 
 
-def _gat_vjp_bwd(heads, negative_slope, res, g):
-    from .reference import banded_gat_ref
+def _gat_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
+    from .banded_bwd import banded_gat_bwd
 
-    bias_self, z, alpha_src, alpha_dst = res
-    _, vjp = jax.vjp(
-        lambda z_, s_, d_: banded_gat_ref(
-            bias_self, z_, s_, d_, heads, negative_slope
-        ),
-        z, alpha_src, alpha_dst,
+    bias_self, z, alpha_src, alpha_dst, seed = res
+    dz, ds, dd = banded_gat_bwd(
+        bias_self, z, alpha_src, alpha_dst, g, heads, negative_slope,
+        dropout_rate=dropout_rate, seed=seed,
     )
-    dz, ds, dd = vjp(g)
-    return jnp.zeros_like(bias_self), dz, ds, dd
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return jnp.zeros_like(bias_self), dz, ds, dd, dseed
 
 
 banded_gat.defvjp(_gat_vjp_fwd, _gat_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def banded_transformer(bias_noself, q, k, v, heads):
-    return banded_transformer_fwd(bias_noself, q, k, v, heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def banded_transformer(bias_noself, q, k, v, heads, dropout_rate=0.0,
+                       seed=None):
+    return banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                  dropout_rate=dropout_rate, seed=seed)
 
 
-def _tr_vjp_fwd(bias_noself, q, k, v, heads):
-    out = banded_transformer_fwd(bias_noself, q, k, v, heads)
-    return out, (bias_noself, q, k, v)
+def _tr_vjp_fwd(bias_noself, q, k, v, heads, dropout_rate, seed):
+    out = banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                 dropout_rate=dropout_rate, seed=seed)
+    return out, (bias_noself, q, k, v, seed)
 
 
-def _tr_vjp_bwd(heads, res, g):
-    from .reference import banded_transformer_ref
+def _tr_vjp_bwd(heads, dropout_rate, res, g):
+    from .banded_bwd import banded_transformer_bwd
 
-    bias_noself, q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: banded_transformer_ref(bias_noself, q_, k_, v_, heads),
-        q, k, v,
+    bias_noself, q, k, v, seed = res
+    dq, dk, dv = banded_transformer_bwd(
+        bias_noself, q, k, v, g, heads,
+        dropout_rate=dropout_rate, seed=seed,
     )
-    dq, dk, dv = vjp(g)
-    return jnp.zeros_like(bias_noself), dq, dk, dv
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return jnp.zeros_like(bias_noself), dq, dk, dv, dseed
 
 
 banded_transformer.defvjp(_tr_vjp_fwd, _tr_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def banded_transformer_edge(bias_noself, edge_band, q, k, v, qw, heads):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def banded_transformer_edge(bias_noself, edge_band, q, k, v, qw, heads,
+                            dropout_rate=0.0, seed=None):
     """Edge-conditioned banded transformer attention → (out [N,H*C], s [N,H*D_e]).
 
     ``qw = per-head q @ W_e`` carries the logit edge term; ``s`` is the
@@ -416,28 +478,31 @@ def banded_transformer_edge(bias_noself, edge_band, q, k, v, qw, heads):
     conditioning the reference computed but never used (SURVEY.md §2 quirk 3).
     """
     return banded_transformer_fwd(bias_noself, q, k, v, heads,
-                                  edge_band=edge_band, qw=qw)
+                                  edge_band=edge_band, qw=qw,
+                                  dropout_rate=dropout_rate, seed=seed)
 
 
-def _tre_vjp_fwd(bias_noself, edge_band, q, k, v, qw, heads):
+def _tre_vjp_fwd(bias_noself, edge_band, q, k, v, qw, heads, dropout_rate,
+                 seed):
     out = banded_transformer_fwd(bias_noself, q, k, v, heads,
-                                 edge_band=edge_band, qw=qw)
-    return out, (bias_noself, edge_band, q, k, v, qw)
+                                 edge_band=edge_band, qw=qw,
+                                 dropout_rate=dropout_rate, seed=seed)
+    return out, (bias_noself, edge_band, q, k, v, qw, seed)
 
 
-def _tre_vjp_bwd(heads, res, g):
-    from .reference import banded_transformer_edge_ref
+def _tre_vjp_bwd(heads, dropout_rate, res, g):
+    from .banded_bwd import banded_transformer_bwd
 
-    bias_noself, edge_band, q, k, v, qw = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, w_: banded_transformer_edge_ref(
-            bias_noself, edge_band, q_, k_, v_, w_, heads
-        ),
-        q, k, v, qw,
+    bias_noself, edge_band, q, k, v, qw, seed = res
+    g_out, g_s = g  # cotangents of (out, s)
+    dq, dk, dv, dqw = banded_transformer_bwd(
+        bias_noself, q, k, v, g_out, heads,
+        edge_band=edge_band, qw=qw, gs=g_s,
+        dropout_rate=dropout_rate, seed=seed,
     )
-    dq, dk, dv, dqw = vjp(g)
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return (jnp.zeros_like(bias_noself), jnp.zeros_like(edge_band),
-            dq, dk, dv, dqw)
+            dq, dk, dv, dqw, dseed)
 
 
 banded_transformer_edge.defvjp(_tre_vjp_fwd, _tre_vjp_bwd)

@@ -1,0 +1,381 @@
+"""Fused Pallas backward kernels for the banded attention forwards.
+
+Flash-attention-style backward: attention probabilities are **recomputed in
+VMEM** per receiver tile (never materialized to HBM — the jnp reference VJP
+they replace materializes [n_tiles, T, W·T, H] tensors, ~75 MB/layer on the
+BFS mesh, which made the train step ~30× slower than the forward).
+
+Gradients w.r.t. *receiver-indexed* quantities (dα_dst, dq, dqw) are local
+to the grid step and written directly.  Gradients w.r.t. *sender-indexed*
+quantities (dz, dα_src, dk, dv) receive contributions from up to W receiver
+tiles; each grid step emits its per-window-block partials
+``[n_tiles, W, T, F]`` and a cheap XLA shift-add (``_combine``) folds them
+into ``[N, F]`` — W adds of an [N, F] array, no scatter.
+
+All accumulation is float32 regardless of input dtype; cotangents are cast
+back to the primal dtypes by the ``custom_vjp`` wrappers in ``banded.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_windows(x: jax.Array, tile: int, k0: int) -> jax.Array:
+    return jnp.pad(x, ((k0 * tile, k0 * tile), (0, 0)))
+
+
+def _window_specs(window: int, tile: int, feat: int):
+    return [
+        pl.BlockSpec((tile, feat), lambda i, k=k: (i + k, 0),
+                     memory_space=pltpu.VMEM)
+        for k in range(window)
+    ]
+
+
+def _part_spec(window: int, tile: int, feat: int):
+    return pl.BlockSpec((1, window, tile, feat), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def combine_partials(part: jax.Array) -> jax.Array:
+    """[n_tiles, W, T, F] per-(receiver-tile, window-block) partials → [N, F].
+
+    Block (t, k) contributes to sender tile ``t − k0 + k``; in coordinates of
+    a k0-tile-padded array that is tile ``t + k``, so the fold is W shifted
+    adds — pure XLA, no scatter.
+    """
+    n_tiles, window, tile, feat = part.shape
+    k0 = window // 2
+    acc = jnp.zeros((n_tiles + 2 * k0, tile, feat), part.dtype)
+    for k in range(window):
+        acc = acc.at[k:k + n_tiles].add(part[:, k])
+    return acc[k0:k0 + n_tiles].reshape(n_tiles * tile, feat)
+
+
+# ------------------------------------------------------------ GAT backward
+def _gat_bwd_kernel(*refs, window, heads, negative_slope, dropout_rate=0.0):
+    i = 0
+    if dropout_rate > 0:
+        seed_ref = refs[i]; i += 1
+    bias_ref = refs[i]; i += 1
+    asrc = refs[i:i + window]; i += window
+    adst_ref = refs[i]; i += 1
+    zs = refs[i:i + window]; i += window
+    g_ref = refs[i]; i += 1
+    dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
+
+    tile = adst_ref.shape[0]
+    c = zs[0].shape[1] // heads
+    bias = bias_ref[0]
+    if dropout_rate > 0:
+        # replay the forward kernel's PRNG stream exactly: same per-tile seed,
+        # one prng_random_bits call per head in the same order
+        from .banded import _dropout_thresh
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+    # f32 alpha loads: see note in banded._gat_kernel
+    adst = adst_ref[:].astype(jnp.float32)
+    asrc = [a[:].astype(jnp.float32) for a in asrc]
+    dad_cols = []
+    das_blocks = [[] for _ in range(window)]   # [k][h] → [T, 1]
+    dz_blocks = [[] for _ in range(window)]    # [k] → [T, C] per head concat
+    for h in range(heads):
+        g_h = g_ref[:, h * c:(h + 1) * c].astype(jnp.float32)
+        a_d = adst[:, h][:, None]
+        pres, logits, dps = [], [], []
+        for k in range(window):
+            a_s = asrc[k][:, h][None, :]
+            pre = a_d + a_s                                  # [T, T]
+            pres.append(pre)
+            l = jnp.where(pre >= 0, pre, negative_slope * pre)
+            logits.append(l + bias[k])
+            zk = zs[k][:, h * c:(h + 1) * c]
+            dps.append(jnp.dot(g_h, zk.T.astype(jnp.float32),
+                               preferred_element_type=jnp.float32))
+        full = jnp.concatenate(logits, axis=1)               # [T, WT]
+        m = jnp.max(full, axis=1, keepdims=True)
+        e = jnp.exp(full - m)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        p = e / denom
+        dp = jnp.concatenate(dps, axis=1)                    # [T, WT]
+        if dropout_rate > 0:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            keep = bits >= _dropout_thresh(dropout_rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)   # p as the fwd used it
+            dp = jnp.where(keep, dp * inv_keep, 0.0)  # dpd → dp through mask
+        else:
+            pd = p
+        r = jnp.sum(p * dp, axis=1, keepdims=True)
+        dl = p * (dp - r)                                    # softmax VJP
+        dad_h = jnp.zeros((tile, 1), jnp.float32)
+        for k in range(window):
+            dl_k = dl[:, k * tile:(k + 1) * tile]
+            dpre = dl_k * jnp.where(pres[k] >= 0, 1.0, negative_slope)
+            dad_h += jnp.sum(dpre, axis=1, keepdims=True)
+            das_blocks[k].append(jnp.sum(dpre, axis=0)[:, None])  # [T, 1]
+            p_k = pd[:, k * tile:(k + 1) * tile]
+            dz_blocks[k].append(jnp.dot(p_k.T, g_h,
+                                        preferred_element_type=jnp.float32))
+        dad_cols.append(dad_h)
+    dad_ref[:] = jnp.concatenate(dad_cols, axis=1).astype(dad_ref.dtype)
+    das_ref[0] = jnp.stack(
+        [jnp.concatenate(bs, axis=1) for bs in das_blocks], axis=0
+    ).astype(das_ref.dtype)
+    dz_ref[0] = jnp.stack(
+        [jnp.concatenate(bs, axis=1) for bs in dz_blocks], axis=0
+    ).astype(dz_ref.dtype)
+
+
+def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
+                   negative_slope=0.2, dropout_rate=0.0, seed=None):
+    """Fused backward of ``banded_gat_fwd`` → (dz, dalpha_src, dalpha_dst)."""
+    from .banded import _seed_inputs
+
+    n_tiles, window, tile, _ = bias_self.shape
+    k0 = window // 2
+    hc = z.shape[1]
+    h = alpha_src.shape[1]
+    n = z.shape[0]
+    zp = _pad_windows(z, tile, k0)
+    ap = _pad_windows(alpha_src, tile, k0)
+    kernel = functools.partial(
+        _gat_bwd_kernel, window=window, heads=heads,
+        negative_slope=negative_slope, dropout_rate=dropout_rate,
+    )
+    seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
+    dad, das_part, dz_part = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            *seed_specs,
+            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *_window_specs(window, tile, h),
+            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *_window_specs(window, tile, hc),
+            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _part_spec(window, tile, h),
+            _part_spec(window, tile, hc),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, window, tile, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, window, tile, hc), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_tiles * heads * tile * window * tile * (hc // heads),
+            bytes_accessed=bias_self.size * bias_self.dtype.itemsize
+            + 2 * (window + 1) * z.size * 4,
+            transcendentals=n_tiles * heads * tile * window * tile,
+        ),
+        interpret=_use_interpret(),
+    )(*seed_in, bias_self, *([ap] * window), alpha_dst, *([zp] * window), g)
+    dz = combine_partials(dz_part).astype(z.dtype)
+    das = combine_partials(das_part).astype(alpha_src.dtype)
+    return dz, das, dad.astype(alpha_dst.dtype)
+
+
+# ---------------------------------------------------- Transformer backward
+def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs,
+                   dropout_rate=0.0):
+    i = 0
+    if dropout_rate > 0:
+        seed_ref = refs[i]; i += 1
+    bias_ref = refs[i]; i += 1
+    q_ref = refs[i]; i += 1
+    ks = refs[i:i + window]; i += window
+    vs = refs[i:i + window]; i += window
+    if edge_dim:
+        feat_ref = refs[i]; i += 1   # [1, W, D_e, T, T]
+        qw_ref = refs[i]; i += 1     # [T, H*D_e]
+    g_ref = refs[i]; i += 1
+    gs_ref = refs[i] if has_gs else None
+    i += 1 if has_gs else 0
+    dq_ref = refs[i]; i += 1
+    dk_ref, dv_ref = refs[i], refs[i + 1]; i += 2
+    dqw_ref = refs[i] if edge_dim else None
+
+    tile = q_ref.shape[0]
+    c = q_ref.shape[1] // heads
+    bias = bias_ref[0]
+    if dropout_rate > 0:
+        from .banded import _dropout_thresh
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+    dq_cols, dqw_cols = [], []
+    dk_blocks = [[] for _ in range(window)]
+    dv_blocks = [[] for _ in range(window)]
+    for h in range(heads):
+        q = q_ref[:, h * c:(h + 1) * c]
+        g_h = g_ref[:, h * c:(h + 1) * c].astype(jnp.float32)
+        logits, dps = [], []
+        for k in range(window):
+            kk = ks[k][:, h * c:(h + 1) * c]
+            l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
+            if edge_dim:
+                for d in range(edge_dim):
+                    qw_d = qw_ref[:, h * edge_dim + d][:, None]
+                    l += (qw_d * scale) * feat_ref[0, k, d]
+            logits.append(l + bias[k])
+            vk = vs[k][:, h * c:(h + 1) * c]
+            dp = jnp.dot(g_h, vk.T.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            if has_gs:
+                for d in range(edge_dim):
+                    gs_d = gs_ref[:, h * edge_dim + d][:, None]
+                    dp += gs_d.astype(jnp.float32) * feat_ref[0, k, d]
+            dps.append(dp)
+        full = jnp.concatenate(logits, axis=1)
+        m = jnp.maximum(jnp.max(full, axis=1, keepdims=True), -1e30)
+        e = jnp.exp(full - m)
+        e = jnp.where(full <= -1e29, 0.0, e)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        p = e / denom
+        dp = jnp.concatenate(dps, axis=1)
+        if dropout_rate > 0:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            keep = bits >= _dropout_thresh(dropout_rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            pd = p
+        r = jnp.sum(p * dp, axis=1, keepdims=True)
+        dl = (p * (dp - r)) * scale       # logit grad incl. the 1/√C scale
+        dq_h = jnp.zeros((tile, c), jnp.float32)
+        dqw_h = []
+        for k in range(window):
+            dl_k = dl[:, k * tile:(k + 1) * tile]
+            p_k = pd[:, k * tile:(k + 1) * tile]
+            kk = ks[k][:, h * c:(h + 1) * c].astype(jnp.float32)
+            dq_h += jnp.dot(dl_k, kk, preferred_element_type=jnp.float32)
+            dk_blocks[k].append(jnp.dot(
+                dl_k.T, q.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ))
+            dv_blocks[k].append(jnp.dot(p_k.T, g_h,
+                                        preferred_element_type=jnp.float32))
+        if edge_dim:
+            for d in range(edge_dim):
+                acc = jnp.zeros((tile, 1), jnp.float32)
+                for k in range(window):
+                    dl_k = dl[:, k * tile:(k + 1) * tile]
+                    acc += jnp.sum(dl_k * feat_ref[0, k, d], axis=1,
+                                   keepdims=True)
+                dqw_h.append(acc)
+            dqw_cols.append(jnp.concatenate(dqw_h, axis=1))  # [T, D_e]
+        dq_cols.append(dq_h)
+    dq_ref[:] = jnp.concatenate(dq_cols, axis=1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.stack(
+        [jnp.concatenate(bs, axis=1) for bs in dk_blocks], axis=0
+    ).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.stack(
+        [jnp.concatenate(bs, axis=1) for bs in dv_blocks], axis=0
+    ).astype(dv_ref.dtype)
+    if edge_dim:
+        dqw_ref[:] = jnp.concatenate(dqw_cols, axis=1).astype(dqw_ref.dtype)
+
+
+def banded_transformer_bwd(
+    bias_noself, q, k, v, g, heads,
+    edge_band=None, qw=None, gs=None,
+    dropout_rate=0.0, seed=None,
+):
+    """Fused backward of the (optionally edge-conditioned) transformer forward.
+
+    ``g`` is the cotangent of the attention output; ``gs`` (when edge
+    conditioning is on) the cotangent of the weighted-edge-feature output
+    ``s``.  Returns (dq, dk, dv) or (dq, dk, dv, dqw).
+    """
+    n_tiles, window, tile, _ = bias_noself.shape
+    k0 = window // 2
+    hc = q.shape[1]
+    c = hc // heads
+    n = q.shape[0]
+    kp = _pad_windows(k, tile, k0)
+    vp = _pad_windows(v, tile, k0)
+    edge_dim = 0
+    extra, extra_specs = [], []
+    if edge_band is not None:
+        edge_dim = edge_band.shape[2]
+        extra = [edge_band, qw]
+        extra_specs = [
+            pl.BlockSpec((1, window, edge_dim, tile, tile),
+                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    has_gs = gs is not None
+    gs_in, gs_specs = [], []
+    if has_gs:
+        gs_in = [gs]
+        gs_specs = [pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+    kernel = functools.partial(
+        _tr_bwd_kernel, window=window, heads=heads, scale=1.0 / (c ** 0.5),
+        edge_dim=edge_dim, has_gs=has_gs, dropout_rate=dropout_rate,
+    )
+    from .banded import _seed_inputs
+
+    seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
+    out_specs = [
+        pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _part_spec(window, tile, hc),
+        _part_spec(window, tile, hc),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, hc), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), jnp.float32),
+    ]
+    if edge_dim:
+        out_specs.append(
+            pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n, heads * edge_dim), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            *seed_specs,
+            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *_window_specs(window, tile, hc),
+            *_window_specs(window, tile, hc),
+            *extra_specs,
+            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *gs_specs,
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n_tiles * heads * tile * window * tile * c,
+            bytes_accessed=bias_noself.size * bias_noself.dtype.itemsize
+            + 3 * (window + 1) * q.size * 4,
+            transcendentals=n_tiles * heads * tile * window * tile,
+        ),
+        interpret=_use_interpret(),
+    )(*seed_in, bias_noself, q, *([kp] * window), *([vp] * window), *extra,
+      g, *gs_in)
+    dq = outs[0].astype(q.dtype)
+    dk = combine_partials(outs[1]).astype(k.dtype)
+    dv = combine_partials(outs[2]).astype(v.dtype)
+    if edge_dim:
+        return dq, dk, dv, outs[3].astype(qw.dtype)
+    return dq, dk, dv

@@ -134,16 +134,22 @@ class GATConv(nn.Module):
         def leaky(v):
             return jax.nn.leaky_relu(v, self.negative_slope)
 
+        drop_active = self.dropout > 0 and not deterministic
         use_pallas = (
             self.backend == "pallas"
             and graph.band is not None
             and graph.band.bias_self is not None
-            and (deterministic or self.dropout == 0)
-            # fused kernel has no attention-dropout; falls back to dense
+            # attention dropout runs in-kernel via the Mosaic PRNG; the
+            # interpret path (CPU tests) has no PRNG → dense fallback there
+            and (not drop_active or jax.default_backend() == "tpu")
         )
         if use_pallas:
             from ..kernels.banded import banded_gat
 
+            rate, seed = 0.0, None
+            if drop_active:
+                rate = self.dropout
+                seed = _dropout_seed(self.make_rng("dropout"))
             out = banded_gat(
                 graph.band.bias_self,
                 z.reshape(-1, H * C),
@@ -151,6 +157,8 @@ class GATConv(nn.Module):
                 alpha_dst,
                 H,
                 self.negative_slope,
+                rate,
+                seed,
             ).reshape(-1, H, C)
         elif self.backend == "segment":
             # self-loops appended virtually: include (i, i) logits via concat
@@ -207,6 +215,12 @@ class GATConv(nn.Module):
             out = out.mean(axis=1)
             bias = self.param("bias", nn.initializers.zeros, (C,))
         return out + bias
+
+
+def _dropout_seed(rng: jax.Array) -> jax.Array:
+    """Derive a [1] int32 seed for the in-kernel attention-dropout PRNG."""
+    return jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
 
 
 def _attn_with_self(logits, nbr_mask, self_logit):
@@ -285,16 +299,23 @@ class TransformerConv(nn.Module):
             lin_edge = _lecun_linear(H * C, use_bias=False, name="lin_edge",
                                      dtype=self.dtype)
 
+        drop_active = self.dropout > 0 and not deterministic
         band_ok = (
             self.backend == "pallas"
             and graph.band is not None
             and graph.band.bias_noself is not None
-            and (deterministic or self.dropout == 0)
+            # in-kernel attention dropout needs the Mosaic PRNG (TPU only)
+            and (not drop_active or jax.default_backend() == "tpu")
             # edge conditioning needs the banded edge-feature tensor
             and (self.edge_dim is None or graph.band.edge is not None)
         )
         if lin_edge is not None and not band_ok:
             edge_kv = lin_edge(graph.edge_feat).reshape(-1, H, C)
+
+        rate, seed = 0.0, None
+        if band_ok and drop_active:
+            rate = self.dropout
+            seed = _dropout_seed(self.make_rng("dropout"))
 
         if band_ok and self.edge_dim is not None:
             from ..kernels.banded import banded_transformer_edge
@@ -312,6 +333,8 @@ class TransformerConv(nn.Module):
                 v.reshape(-1, H * C),
                 qw,
                 H,
+                rate,
+                seed,
             )
             out = out.reshape(-1, H, C) + jnp.einsum(
                 "nhd,dhc->nhc", s.reshape(-1, H, d_e), w_e.astype(s.dtype)
@@ -325,6 +348,8 @@ class TransformerConv(nn.Module):
                 k.reshape(-1, H * C),
                 v.reshape(-1, H * C),
                 H,
+                rate,
+                seed,
             ).reshape(-1, H, C)
         elif self.backend == "segment":
             k_e = k[graph.senders]

@@ -114,11 +114,15 @@ def _pressure_freeze_mask(path, leaf):
 
 
 def make_train_step(
-    model: FlowGNN, cfg: TrainConfig
+    model: FlowGNN, cfg: TrainConfig, jit: bool = True
 ) -> Callable:
+    """The jitted train step; ``jit=False`` returns the raw traced body
+
+    (for embedding in a larger jitted computation, e.g. the chained
+    device-timing harness in ``utils.bench`` or a scanned multi-step loop).
+    """
     tx = make_optimizer(cfg)
 
-    @partial(jax.jit, static_argnames=("freeze_pressure",), donate_argnums=(0,))
     def train_step(
         state: TrainState,
         graph: Graph,
@@ -167,6 +171,10 @@ def make_train_step(
         )
         return new_state, loss
 
+    if jit:
+        return partial(
+            jax.jit, static_argnames=("freeze_pressure",), donate_argnums=(0,)
+        )(train_step)
     return train_step
 
 

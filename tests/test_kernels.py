@@ -174,6 +174,26 @@ class TestBandedGAT:
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                    rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_gradient_flows_wide(self, width):
+        g = _band_graph(width=width)
+        rng = np.random.default_rng(14)
+        H, C = 2, 8
+        z = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+
+        def loss(fn):
+            return lambda z_, s_, d_: jnp.sum(
+                fn(g.band.bias_self, z_, s_, d_, H, 0.2) ** 2
+            )
+
+        gk = jax.grad(loss(banded_gat), argnums=(0, 1, 2))(z, a_s, a_d)
+        gr = jax.grad(loss(banded_gat_ref), argnums=(0, 1, 2))(z, a_s, a_d)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_gradient_flows(self):
         g = _band_graph()
         rng = np.random.default_rng(4)
@@ -210,6 +230,27 @@ class TestBandedTransformer:
         out_r = banded_transformer_ref(g.band.bias_noself, q, k, v, H)
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                    rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_gradients_match_reference(self, width):
+        g = _band_graph(width=width)
+        rng = np.random.default_rng(9)
+        H, C = 2, 8
+        args = [
+            jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+            for _ in range(3)
+        ]
+
+        def loss(fn):
+            return lambda q_, k_, v_: jnp.sum(
+                fn(g.band.bias_noself, q_, k_, v_, H) ** 2
+            )
+
+        gk = jax.grad(loss(banded_transformer), argnums=(0, 1, 2))(*args)
+        gr = jax.grad(loss(banded_transformer_ref), argnums=(0, 1, 2))(*args)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
 
     @pytest.mark.parametrize("width", [16, 30])
     def test_edge_conditioned_matches_reference(self, width):
@@ -261,6 +302,61 @@ class TestBandedTransformer:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel attention dropout needs the Mosaic PRNG")
+class TestAttentionDropout:
+    """In-kernel dropout: deterministic per seed, fwd/bwd mask consistency.
+
+    GAT output is LINEAR in z for fixed alphas+mask, so a full-step
+    directional difference equals the AD directional derivative exactly
+    (up to f32 accumulation noise) — a strong check that the backward
+    kernel replays the identical PRNG stream.
+    """
+
+    def _inputs(self, g, H=2, C=8, seed=0):
+        rng = np.random.default_rng(seed)
+        z = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+        a = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        return z, a
+
+    def test_deterministic_and_seed_sensitive(self):
+        g = _band_graph(tile=128, n=512)
+        z, a = self._inputs(g)
+        s1 = jnp.asarray([7], jnp.int32)
+        s2 = jnp.asarray([8], jnp.int32)
+        o1 = banded_gat(g.band.bias_self, z, a, a, 2, 0.2, 0.3, s1)
+        o2 = banded_gat(g.band.bias_self, z, a, a, 2, 0.2, 0.3, s1)
+        o3 = banded_gat(g.band.bias_self, z, a, a, 2, 0.2, 0.3, s2)
+        assert bool(jnp.all(o1 == o2))
+        assert bool(jnp.any(o1 != o3))
+
+    def test_bwd_mask_matches_fwd(self):
+        g = _band_graph(tile=128, n=512)
+        z, a = self._inputs(g)
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(size=z.shape).astype(np.float32))
+        d = jnp.asarray(rng.normal(size=z.shape).astype(np.float32))
+        seed = jnp.asarray([42], jnp.int32)
+
+        def loss(z_):
+            return jnp.vdot(
+                banded_gat(g.band.bias_self, z_, a, a, 2, 0.2, 0.3, seed), w
+            ) / 100.0
+
+        fd = float(loss(z + d) - loss(z))
+        ad = float(jnp.vdot(jax.grad(loss)(z), d))
+        assert abs(fd - ad) / max(abs(fd), 1e-9) < 1e-2
+
+    def test_transformer_dropout_runs_under_grad(self):
+        g = _band_graph(tile=128, n=512)
+        z, _ = self._inputs(g)
+        seed = jnp.asarray([3], jnp.int32)
+        gz = jax.grad(lambda v_: jnp.sum(
+            banded_transformer(g.band.bias_noself, z, z, v_, 2, 0.25, seed) ** 2
+        ))(z)
+        assert bool(jnp.isfinite(gz).all())
 
 
 class TestConvBackendParity:
