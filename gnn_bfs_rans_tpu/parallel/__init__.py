@@ -25,6 +25,11 @@ from .multicase import (
     make_perturbed_cases,
     shard_cases,
 )
+from .generalization import (
+    analytic_targets,
+    run_geometry_generalization,
+    train_multicase_streamed,
+)
 
 __all__ = [
     "make_data_mesh",
@@ -46,4 +51,7 @@ __all__ = [
     "make_partitioned_train_step",
     "shard_partitioned_targets",
     "gather_partitioned",
+    "analytic_targets",
+    "train_multicase_streamed",
+    "run_geometry_generalization",
 ]

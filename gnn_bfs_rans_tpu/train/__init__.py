@@ -8,6 +8,7 @@ from .checkpoint import (
     save_checkpoint,
 )
 from .data import FlowDataset, load_dataset
+from .streaming import Prefetcher, foam_case_source, perturbed_case_source
 from .loop import (
     ReduceLROnPlateau,
     TrainConfig,
@@ -35,6 +36,9 @@ from .trainer import Trainer
 __all__ = [
     "FlowDataset",
     "load_dataset",
+    "Prefetcher",
+    "perturbed_case_source",
+    "foam_case_source",
     "TrainConfig",
     "TrainState",
     "Trainer",
