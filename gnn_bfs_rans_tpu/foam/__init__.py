@@ -9,8 +9,11 @@ from .reader import (
     compute_internal_mask,
 )
 from .writer import FIELD_DIMENSIONS, save_fields_openfoam_format
+from .casegen import box_fields, generate_box_case
 
 __all__ = [
+    "generate_box_case",
+    "box_fields",
     "DEFAULT_FIELDS",
     "BoundaryPatch",
     "FoamCase",
