@@ -11,15 +11,21 @@ RCM bandwidth lands in (TILE, 2·TILE]).  Aggregation then becomes
 
 — ``W`` dense ``TILE×TILE`` matmuls per tile, a pure-MXU banded SpMM with no
 gather or scatter (the TPU-native answer to PyG's per-edge scatter kernels,
-SURVEY.md §3.4).  Attention variants reuse the same layout with additive
-``0/−1e30`` masks and per-window softmax (flash-attention over the band).
+SURVEY.md §3.4).  Attention variants reuse the same layout with 0/1 sparsity
+masks — the kernels materialize the additive ``0/−1e30`` softmax bias from
+them in VMEM ((mask−1)·1e30) — and per-window softmax (flash-attention over
+the band).
 
 All band tensors are precomputed once on host from the static graph:
 
 * ``adj``        — 0/1 adjacency (GIN sum-aggregation weights)
 * ``gcn``        — symmetric-normalized GCN coefficients incl. self-loops
-* ``bias_self``  — additive attention mask with self-loops (GAT)
-* ``bias_noself``— additive attention mask without self-loops (Transformer)
+* ``bias_self``  — int8 0/1 attention mask with self-loops (GAT)
+* ``bias_noself``— int8 0/1 attention mask without self-loops (Transformer)
+
+The attention masks store **int8**: they are the dominant HBM stream of the
+fused attention kernels (the [W, T, T] plane per tile dwarfs the [T, H·C]
+feature tiles), so 1-byte storage buys ~25% kernel time on the BFS mesh.
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ import dataclasses
 import jax
 import numpy as np
 
-NEG_INF = -1e30
+NEG_INF = -1e30  # additive mask value the kernels materialize from 0/1 masks
 
 
 ALL_COMPONENTS = ("adj", "gcn", "bias_self", "bias_noself", "edge")
@@ -51,8 +57,8 @@ LAYER_COMPONENTS = {
 class Band:
     adj: jax.Array | None          # [n_tiles, W, T, T] bf16 0/1
     gcn: jax.Array | None          # normalized GCN coeffs incl. self-loops
-    bias_self: jax.Array | None    # 0 / -1e30 additive mask (with self)
-    bias_noself: jax.Array | None  # 0 / -1e30 additive mask
+    bias_self: jax.Array | None    # int8 0/1 attention mask (with self)
+    bias_noself: jax.Array | None  # int8 0/1 attention mask
     tile: int = dataclasses.field(metadata=dict(static=True))
     edge: jax.Array | None = None  # [n_tiles, W, D_e, T, T] bf16 edge features
 
@@ -116,7 +122,6 @@ def build_band(
     # Everything below stays float32 and in-place — these are [n_tiles,3,T,T]
     # tensors and float64 temporaries dominate build time on slow-memory hosts.
     diag_idx = np.arange(tile)
-    neg = np.float32(NEG_INF)
 
     gcn = None
     if "gcn" in components:
@@ -140,14 +145,14 @@ def build_band(
     bias_self = None
     if "bias_self" in components:
         adj_self = adj.copy()
-        adj_self[:, k0, diag_idx, diag_idx] = np.float32(1.0)
         # Padding rows attend only to themselves so softmax is well-defined;
         # their outputs are masked downstream anyway.
-        bias_self = np.where(adj_self > 0, np.float32(0.0), neg)
+        adj_self[:, k0, diag_idx, diag_idx] = np.float32(1.0)
+        bias_self = (adj_self > 0).astype(np.int8)
 
     bias_noself = None
     if "bias_noself" in components:
-        bias_noself = np.where(adj > 0, np.float32(0.0), neg)
+        bias_noself = (adj > 0).astype(np.int8)
 
     edge = None
     if edge_feat is not None and "edge" in components:
@@ -155,10 +160,10 @@ def build_band(
         edge = np.zeros((n_tiles, window, d_e, tile, tile), dtype=np.float32)
         edge[t, k, :, row, col] = np.asarray(edge_feat, dtype=np.float32)
 
-    # Mask-like tensors store exactly in bfloat16 (values are 0, 1, ±1e30 —
-    # all exactly representable), halving their HBM traffic in the kernels.
-    # GCN coefficients keep float32 (0.4% bf16 rounding would break the
-    # 1e-4-tolerance parity with the segment/dense backends).
+    # The GIN adjacency stores exactly in bfloat16 (values 0/1), halving its
+    # HBM traffic in the SpMM kernel; attention masks store int8 (see module
+    # doc).  GCN coefficients keep float32 (0.4% bf16 rounding would break
+    # the 1e-4-tolerance parity with the segment/dense backends).
     import ml_dtypes
 
     bf16 = ml_dtypes.bfloat16
@@ -170,8 +175,8 @@ def build_band(
     return Band(
         adj=_bf(adj) if "adj" in components else None,
         gcn=gcn,
-        bias_self=_bf(bias_self),
-        bias_noself=_bf(bias_noself),
+        bias_self=bias_self,
+        bias_noself=bias_noself,
         tile=tile,
         # edge features keep float32: bf16 rounding (~0.4%) would break
         # backend parity of the edge-conditioned conv (same reason as gcn)

@@ -59,6 +59,62 @@ def _window_specs(window: int, tile: int, feat: int):
     ]
 
 
+def _clamped_window_specs(window: int, tile: int, feat: int, n_tiles: int,
+                          group: int = 1):
+    """span = G+W−1 window specs over the UNPADDED array, indices clamped.
+
+    Grid step ``i`` covers receiver tiles ``i·G … i·G+G−1``; window block k
+    addresses sender tile ``i·G + k − k0`` clamped into range.  Out-of-range
+    blocks load a duplicate in-range tile whose contributions the band mask
+    (or a zero coefficient block) kills — this removes the k0-tile pad copy
+    of the feature array (an extra full read+write of HBM per call).
+    """
+    k0 = window // 2
+    last = n_tiles - 1
+    return [
+        pl.BlockSpec(
+            (tile, feat),
+            lambda i, k=k: (jnp.clip(i * group + k - k0, 0, last), 0),
+            memory_space=pltpu.VMEM,
+        )
+        for k in range(group + window - 1)
+    ]
+
+
+# VMEM working-set budget for choosing the receiver-tile group size.  TPU
+# scoped-vmem limit is 16 MiB (v5e); the estimate below undercounts Mosaic's
+# f32 softmax scratch, so budget conservatively.
+_GROUP_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
+                  extra_out_bytes_per_tile: int = 0, max_group: int = 16) -> int:
+    """Largest receiver-tile group G (∈ 16,8,4,2,1) that divides ``n_tiles``
+    and keeps the double-buffered VMEM estimate under budget.
+
+    Grouping amortizes the window overlap: per output tile the kernel
+    streams ``(G+W−1)/G`` input tiles instead of ``W`` — on the BFS-mesh GAT
+    forward (HC=1024) G=16 measures ~2.1× over G=1.
+
+    ``feat_bytes`` = per-node bytes of the streamed feature rows (all window
+    operands combined); ``extra_out_bytes_per_tile`` = per-receiver-node
+    bytes of additional outputs (e.g. f32 window partials in the backward).
+    """
+    for g in (16, 8, 4, 2, 1):
+        if g > max_group or n_tiles % g:
+            continue
+        span = g + window - 1
+        est = 2 * (
+            span * tile * feat_bytes            # windowed feature streams
+            + g * window * tile * tile          # int8 mask / coeff block
+            + g * tile * feat_bytes             # main output
+            + g * tile * extra_out_bytes_per_tile
+        )
+        if est <= _GROUP_VMEM_BUDGET:
+            return g
+    return 1
+
+
 # --------------------------------------------------------------------- SpMM
 def _spmm_kernel(a_ref, *refs, window):
     xs, o_ref = refs[:window], refs[window]
@@ -143,51 +199,70 @@ def _attn_dropout(p, rate: float, inv_keep: float):
 
 
 # ---------------------------------------------------------- GAT attention
-def _gat_kernel(*refs, window, heads, negative_slope, dropout_rate=0.0):
+def _gat_kernel(*refs, window, heads, negative_slope, group,
+                dropout_rate=0.0):
+    """Grouped, head-stacked fused GAT step: G receiver tiles per grid step.
+
+    Per receiver tile the softmax runs head-stacked — one [H·T, W·T] chain
+    (leaky-relu, max, exp, sum, div: the VPU-bound part) instead of H narrow
+    per-head passes — followed by H MXU matmuls.  Grouping G tiles per step
+    amortizes the sliding-window overlap (span G+W−1 sender tiles streamed
+    for G outputs) and the int8 mask (dominant HBM stream at small HC) is
+    materialized to the additive 0/−1e30 bias in VMEM.  Combined ~2.1× over
+    the ungrouped per-head f32-mask kernel on the BFS mesh.
+
+    With dropout the PRNG is re-seeded **per receiver tile** (seed + global
+    tile index) so the stream is independent of the group size — the
+    backward kernel replays it bit-exactly even if it picks a different G.
+    """
     i0 = 0
     if dropout_rate > 0:
         seed_ref = refs[0]
         i0 = 1
-    bias_ref = refs[i0]
-    asrc = refs[i0 + 1:i0 + 1 + window]
-    adst_ref = refs[i0 + 1 + window]
-    zs = refs[i0 + 2 + window:i0 + 2 + 2 * window]
-    o_ref = refs[i0 + 2 + 2 * window]
+    span = group + window - 1
+    mask_ref = refs[i0]                                     # [G, W, T, T]
+    asrc = refs[i0 + 1:i0 + 1 + span]                       # span × [T, H]
+    adst_ref = refs[i0 + 1 + span]                          # [G·T, H]
+    zs = refs[i0 + 2 + span:i0 + 2 + 2 * span]              # span × [T, HC]
+    o_ref = refs[i0 + 2 + 2 * span]                         # [G·T, HC]
     if dropout_rate > 0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         inv_keep = 1.0 / (1.0 - dropout_rate)
-    tile = adst_ref.shape[0]
+    tile = zs[0].shape[0]
     c = zs[0].shape[1] // heads
-    bias = bias_ref[0]  # [W, T, T]
-    # alpha tiles load as float32: logits accumulate in f32 anyway, and
-    # Mosaic rejects some bf16 sublane-broadcast patterns on [T, H] blocks
-    adst = adst_ref[:].astype(jnp.float32)
-    asrc = [a[:].astype(jnp.float32) for a in asrc]
-    outs = []
-    for h in range(heads):
-        # additive logits: a_dst[i] + a_src[j], per window block
-        a_d = adst[:, h][:, None]                           # [T, 1]
-        logits = []
-        for k in range(window):
-            a_s = asrc[k][:, h][None, :]                    # [1, T]
-            l = a_d + a_s
-            l = jnp.where(l >= 0, l, negative_slope * l)    # LeakyReLU
-            logits.append(l + bias[k])
-        full = jnp.concatenate(logits, axis=1)              # [T, WT]
+    for g in range(group):
+        mask = mask_ref[g]
+        bias_cat = (jnp.concatenate([mask[k] for k in range(window)], axis=1)
+                    .astype(jnp.float32) - 1.0) * 1e30      # [T, WT]
+        # alpha tiles load as float32: logits accumulate in f32 anyway, and
+        # Mosaic rejects some bf16 sublane-broadcast patterns on [T, H]
+        adst = adst_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
+        asrc_cat = jnp.concatenate(
+            [asrc[g + k][:].astype(jnp.float32) for k in range(window)],
+            axis=0)                                         # [WT, H]
+        zcat = jnp.concatenate(
+            [zs[g + k][:] for k in range(window)], axis=0)  # [WT, HC]
+        # additive logits a_dst[i] + a_src[j], heads stacked along rows
+        full = jnp.concatenate(
+            [adst[:, h][:, None] + asrc_cat[:, h][None, :]
+             for h in range(heads)],
+            axis=0,
+        )                                                   # [H·T, WT]
+        full = jnp.where(full >= 0, full, negative_slope * full)  # LeakyReLU
+        full = full + jnp.concatenate([bias_cat] * heads, axis=0)
         m = jnp.max(full, axis=1, keepdims=True)
         e = jnp.exp(full - m)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         p = e / denom
         if dropout_rate > 0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
             p = _attn_dropout(p, dropout_rate, inv_keep)
-        acc = jnp.dot(p[:, :tile], zs[0][:, h * c:(h + 1) * c],
-                      preferred_element_type=jnp.float32)
-        for k in range(1, window):
-            acc += jnp.dot(p[:, k * tile:(k + 1) * tile],
-                           zs[k][:, h * c:(h + 1) * c],
-                           preferred_element_type=jnp.float32)
-        outs.append(acc)
-    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        outs = [
+            jnp.dot(p[h * tile:(h + 1) * tile], zcat[:, h * c:(h + 1) * c],
+                    preferred_element_type=jnp.float32)
+            for h in range(heads)
+        ]
+        o_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
+            outs, axis=1).astype(o_ref.dtype)
 
 
 def _seed_inputs(dropout_rate: float, seed):
@@ -216,38 +291,43 @@ def banded_gat_fwd(
 ) -> jax.Array:
     """Fused GAT attention-aggregate over the band; returns [N, H*C]."""
     n_tiles, window, tile, _ = bias_self.shape
-    k0 = window // 2
     hc = z.shape[1]
-    zp = _pad_windows(z, tile, k0)
-    ap = _pad_windows(alpha_src, tile, k0)
+    h = alpha_src.shape[1]
+    group = _choose_group(
+        n_tiles, window, tile,
+        feat_bytes=hc * z.dtype.itemsize + h * alpha_src.dtype.itemsize,
+    )
+    span = group + window - 1
     kernel = functools.partial(
         _gat_kernel, window=window, heads=heads,
-        negative_slope=negative_slope, dropout_rate=dropout_rate,
+        negative_slope=negative_slope, group=group,
+        dropout_rate=dropout_rate,
     )
-    h = alpha_src.shape[1]
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     return pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_window_specs(window, tile, h),
-            # alpha_dst is unpadded: block i addresses the tile directly
-            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_window_specs(window, tile, hc),
+            *_clamped_window_specs(window, tile, h, n_tiles, group),
+            # alpha_dst addresses the receiver tiles directly
+            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(window, tile, hc, n_tiles, group),
         ],
-        out_specs=pl.BlockSpec((tile, hc), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * heads * tile * window * tile * (hc // heads),
-            bytes_accessed=bias_self.size * 4 + (window + 1) * z.size * 4,
+            bytes_accessed=bias_self.size * bias_self.dtype.itemsize
+            + (window + 1) * z.size * 4,
             transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_self, *([ap] * window), alpha_dst, *([zp] * window))
+    )(*seed_in, bias_self, *([alpha_src] * span), alpha_dst, *([z] * span))
 
 
 # ------------------------------------------------- Transformer attention
@@ -269,7 +349,7 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim,
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    bias_ref = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
     q_ref = refs[i]; i += 1
     ks = refs[i:i + window]; i += window
     vs = refs[i:i + window]; i += window
@@ -284,7 +364,9 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim,
         inv_keep = 1.0 / (1.0 - dropout_rate)
     tile = q_ref.shape[0]
     c = q_ref.shape[1] // heads
-    bias = bias_ref[0]
+    # int8 0/1 mask → additive 0/−1e30 bias blocks, once for all heads
+    mask = mask_ref[0]
+    bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30 for k in range(window)]
     outs = []
     souts = []
     for h in range(heads):
@@ -396,12 +478,19 @@ def banded_transformer_fwd(
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * n_tiles * heads * tile * window * tile * c,
-            bytes_accessed=bias_noself.size * 4 + 2 * (window + 1) * q.size * 4
-            + edge_bytes,
+            bytes_accessed=bias_noself.size * bias_noself.dtype.itemsize
+            + 2 * (window + 1) * q.size * 4 + edge_bytes,
             transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
     )(*seed_in, bias_noself, q, *([kp] * window), *([vp] * window), *extra)
+
+
+def _zero_cot(x):
+    """Zero cotangent for a band constant (float0 for the int8 masks)."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
 
 
 # ----------------------------------------------- differentiable wrappers
@@ -433,7 +522,7 @@ def _gat_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
         dropout_rate=dropout_rate, seed=seed,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
-    return jnp.zeros_like(bias_self), dz, ds, dd, dseed
+    return _zero_cot(bias_self), dz, ds, dd, dseed
 
 
 banded_gat.defvjp(_gat_vjp_fwd, _gat_vjp_bwd)
@@ -461,7 +550,7 @@ def _tr_vjp_bwd(heads, dropout_rate, res, g):
         dropout_rate=dropout_rate, seed=seed,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
-    return jnp.zeros_like(bias_noself), dq, dk, dv, dseed
+    return _zero_cot(bias_noself), dq, dk, dv, dseed
 
 
 banded_transformer.defvjp(_tr_vjp_fwd, _tr_vjp_bwd)
@@ -501,7 +590,7 @@ def _tre_vjp_bwd(heads, dropout_rate, res, g):
         dropout_rate=dropout_rate, seed=seed,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
-    return (jnp.zeros_like(bias_noself), jnp.zeros_like(edge_band),
+    return (_zero_cot(bias_noself), jnp.zeros_like(edge_band),
             dq, dk, dv, dqw, dseed)
 
 

@@ -42,8 +42,8 @@ def _window_specs(window: int, tile: int, feat: int):
     ]
 
 
-def _part_spec(window: int, tile: int, feat: int):
-    return pl.BlockSpec((1, window, tile, feat), lambda i: (i, 0, 0, 0),
+def _part_spec(window: int, tile: int, feat: int, group: int = 1):
+    return pl.BlockSpec((group, window, tile, feat), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -63,53 +63,66 @@ def combine_partials(part: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------------------ GAT backward
-def _gat_bwd_kernel(*refs, window, heads, negative_slope, dropout_rate=0.0):
+def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
+                    dropout_rate=0.0):
+    """Grouped + head-stacked, mirroring ``banded._gat_kernel`` — the
+    softmax recompute runs as wide [H·T, W·T] VPU ops and, when dropout is
+    on, the per-receiver-tile re-seeded ``prng_random_bits`` call replays
+    the forward's PRNG stream bit-exactly regardless of either side's
+    group size."""
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    bias_ref = refs[i]; i += 1
-    asrc = refs[i:i + window]; i += window
-    adst_ref = refs[i]; i += 1
-    zs = refs[i:i + window]; i += window
-    g_ref = refs[i]; i += 1
+    span = group + window - 1
+    mask_ref = refs[i]; i += 1                   # [G, W, T, T]
+    asrc = refs[i:i + span]; i += span           # span × [T, H]
+    adst_ref = refs[i]; i += 1                   # [G·T, H]
+    zs = refs[i:i + span]; i += span             # span × [T, HC]
+    g_ref = refs[i]; i += 1                      # [G·T, HC]
     dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
 
-    tile = adst_ref.shape[0]
+    tile = zs[0].shape[0]
     c = zs[0].shape[1] // heads
-    bias = bias_ref[0]
-    if dropout_rate > 0:
-        # replay the forward kernel's PRNG stream exactly: same per-tile seed,
-        # one prng_random_bits call per head in the same order
-        from .banded import _dropout_thresh
+    from .banded import _dropout_thresh
 
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
-    # f32 alpha loads: see note in banded._gat_kernel
-    adst = adst_ref[:].astype(jnp.float32)
-    asrc = [a[:].astype(jnp.float32) for a in asrc]
-    dad_cols = []
-    das_blocks = [[] for _ in range(window)]   # [k][h] → [T, 1]
-    dz_blocks = [[] for _ in range(window)]    # [k] → [T, C] per head concat
-    for h in range(heads):
-        g_h = g_ref[:, h * c:(h + 1) * c].astype(jnp.float32)
-        a_d = adst[:, h][:, None]
-        pres, logits, dps = [], [], []
-        for k in range(window):
-            a_s = asrc[k][:, h][None, :]
-            pre = a_d + a_s                                  # [T, T]
-            pres.append(pre)
-            l = jnp.where(pre >= 0, pre, negative_slope * pre)
-            logits.append(l + bias[k])
-            zk = zs[k][:, h * c:(h + 1) * c]
-            dps.append(jnp.dot(g_h, zk.T.astype(jnp.float32),
-                               preferred_element_type=jnp.float32))
-        full = jnp.concatenate(logits, axis=1)               # [T, WT]
+    for g in range(group):
+        mask = mask_ref[g]
+        bias_cat = (jnp.concatenate([mask[k] for k in range(window)], axis=1)
+                    .astype(jnp.float32) - 1.0) * 1e30       # [T, WT]
+        # f32 alpha loads: see note in banded._gat_kernel
+        adst = adst_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
+        asrc_cat = jnp.concatenate(
+            [asrc[g + k][:].astype(jnp.float32) for k in range(window)],
+            axis=0)                                          # [WT, H]
+        pre = jnp.concatenate(
+            [adst[:, h][:, None] + asrc_cat[:, h][None, :]
+             for h in range(heads)],
+            axis=0,
+        )                                                    # [H·T, WT]
+        full = jnp.where(pre >= 0, pre, negative_slope * pre)
+        full = full + jnp.concatenate([bias_cat] * heads, axis=0)
         m = jnp.max(full, axis=1, keepdims=True)
         e = jnp.exp(full - m)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         p = e / denom
-        dp = jnp.concatenate(dps, axis=1)                    # [T, WT]
+        gout = [
+            g_ref[g * tile:(g + 1) * tile, h * c:(h + 1) * c]
+            .astype(jnp.float32)
+            for h in range(heads)
+        ]
+        dp = jnp.concatenate([
+            jnp.concatenate([
+                jnp.dot(gout[h],
+                        zs[g + k][:, h * c:(h + 1) * c].T.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+                for k in range(window)
+            ], axis=1)
+            for h in range(heads)
+        ], axis=0)                                           # [H·T, WT]
         if dropout_rate > 0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
             bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
             keep = bits >= _dropout_thresh(dropout_rate)
             pd = jnp.where(keep, p * inv_keep, 0.0)   # p as the fwd used it
@@ -118,58 +131,70 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, dropout_rate=0.0):
             pd = p
         r = jnp.sum(p * dp, axis=1, keepdims=True)
         dl = p * (dp - r)                                    # softmax VJP
-        dad_h = jnp.zeros((tile, 1), jnp.float32)
-        for k in range(window):
-            dl_k = dl[:, k * tile:(k + 1) * tile]
-            dpre = dl_k * jnp.where(pres[k] >= 0, 1.0, negative_slope)
-            dad_h += jnp.sum(dpre, axis=1, keepdims=True)
-            das_blocks[k].append(jnp.sum(dpre, axis=0)[:, None])  # [T, 1]
-            p_k = pd[:, k * tile:(k + 1) * tile]
-            dz_blocks[k].append(jnp.dot(p_k.T, g_h,
-                                        preferred_element_type=jnp.float32))
-        dad_cols.append(dad_h)
-    dad_ref[:] = jnp.concatenate(dad_cols, axis=1).astype(dad_ref.dtype)
-    das_ref[0] = jnp.stack(
-        [jnp.concatenate(bs, axis=1) for bs in das_blocks], axis=0
-    ).astype(das_ref.dtype)
-    dz_ref[0] = jnp.stack(
-        [jnp.concatenate(bs, axis=1) for bs in dz_blocks], axis=0
-    ).astype(dz_ref.dtype)
+        dpre = dl * jnp.where(pre >= 0, 1.0, negative_slope)  # [H·T, WT]
+        dad_cols = []
+        das_blocks = [[] for _ in range(window)]  # [k][h] → [T, 1]
+        dz_blocks = [[] for _ in range(window)]   # [k] → [T, C] per head
+        for h in range(heads):
+            rows = slice(h * tile, (h + 1) * tile)
+            dad_cols.append(jnp.sum(dpre[rows], axis=1, keepdims=True))
+            for k in range(window):
+                cols = slice(k * tile, (k + 1) * tile)
+                das_blocks[k].append(
+                    jnp.sum(dpre[rows, cols], axis=0)[:, None])
+                dz_blocks[k].append(jnp.dot(pd[rows, cols].T, gout[h],
+                                            preferred_element_type=jnp.float32))
+        dad_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
+            dad_cols, axis=1).astype(dad_ref.dtype)
+        das_ref[g] = jnp.stack(
+            [jnp.concatenate(bs, axis=1) for bs in das_blocks], axis=0
+        ).astype(das_ref.dtype)
+        dz_ref[g] = jnp.stack(
+            [jnp.concatenate(bs, axis=1) for bs in dz_blocks], axis=0
+        ).astype(dz_ref.dtype)
 
 
 def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
                    negative_slope=0.2, dropout_rate=0.0, seed=None):
     """Fused backward of ``banded_gat_fwd`` → (dz, dalpha_src, dalpha_dst)."""
-    from .banded import _seed_inputs
+    from .banded import _choose_group, _clamped_window_specs, _seed_inputs
 
     n_tiles, window, tile, _ = bias_self.shape
-    k0 = window // 2
     hc = z.shape[1]
     h = alpha_src.shape[1]
     n = z.shape[0]
-    zp = _pad_windows(z, tile, k0)
-    ap = _pad_windows(alpha_src, tile, k0)
+    group = _choose_group(
+        n_tiles, window, tile,
+        feat_bytes=(hc + h) * z.dtype.itemsize + hc * 4,
+        # f32 per-window partials (dz + dα_src) dominate the output side
+        extra_out_bytes_per_tile=window * (hc + h) * 4,
+    )
+    span = group + window - 1
     kernel = functools.partial(
         _gat_bwd_kernel, window=window, heads=heads,
-        negative_slope=negative_slope, dropout_rate=dropout_rate,
+        negative_slope=negative_slope, group=group,
+        dropout_rate=dropout_rate,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     dad, das_part, dz_part = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_window_specs(window, tile, h),
-            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_window_specs(window, tile, hc),
-            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *_clamped_window_specs(window, tile, h, n_tiles, group),
+            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(window, tile, hc, n_tiles, group),
+            pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _part_spec(window, tile, h),
-            _part_spec(window, tile, hc),
+            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _part_spec(window, tile, h, group),
+            _part_spec(window, tile, hc, group),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, h), jnp.float32),
@@ -183,7 +208,7 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
             transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_self, *([ap] * window), alpha_dst, *([zp] * window), g)
+    )(*seed_in, bias_self, *([alpha_src] * span), alpha_dst, *([z] * span), g)
     dz = combine_partials(dz_part).astype(z.dtype)
     das = combine_partials(das_part).astype(alpha_src.dtype)
     return dz, das, dad.astype(alpha_dst.dtype)
@@ -195,7 +220,7 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs,
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    bias_ref = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
     q_ref = refs[i]; i += 1
     ks = refs[i:i + window]; i += window
     vs = refs[i:i + window]; i += window
@@ -211,7 +236,9 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs,
 
     tile = q_ref.shape[0]
     c = q_ref.shape[1] // heads
-    bias = bias_ref[0]
+    # int8 0/1 mask → additive bias blocks, once for all heads
+    mask = mask_ref[0]
+    bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30 for k in range(window)]
     if dropout_rate > 0:
         from .banded import _dropout_thresh
 

@@ -31,6 +31,11 @@ def _bias_rows(bias: jax.Array) -> jax.Array:
     )
 
 
+def _additive_bias(mask: jax.Array) -> jax.Array:
+    """int8 0/1 attention mask → additive 0/−1e30 bias rows [n, T, W·T]."""
+    return (_bias_rows(mask).astype(jnp.float32) - 1.0) * 1e30
+
+
 def banded_spmm_ref(band_coeff: jax.Array, x: jax.Array) -> jax.Array:
     n_tiles, window, tile, _ = band_coeff.shape
     win = _windows(x, tile, window)                       # [n, WT, H]
@@ -54,7 +59,7 @@ def banded_gat_ref(
     a_d = alpha_dst.reshape(n_tiles, tile, heads)
     logits = a_d[:, :, None, :] + win_a[:, None, :, :]    # [n, T, WT, H]
     logits = jnp.where(logits >= 0, logits, negative_slope * logits)
-    logits = logits + _bias_rows(bias_self)[..., None]
+    logits = logits + _additive_bias(bias_self)[..., None]
     m = jnp.max(logits, axis=2, keepdims=True)
     e = jnp.exp(logits - m)
     denom = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1e-16)
@@ -73,7 +78,7 @@ def _transformer_attn(bias_noself, q, k, heads, extra_logit=None):
     logits = jnp.einsum("nthc,nwhc->ntwh", qh, win_k) / (c ** 0.5)
     if extra_logit is not None:
         logits = logits + extra_logit
-    logits = logits + _bias_rows(bias_noself)[..., None]
+    logits = logits + _additive_bias(bias_noself)[..., None]
     m = jnp.maximum(jnp.max(logits, axis=2, keepdims=True), -1e30)
     e = jnp.exp(logits - m)
     e = jnp.where(logits <= -1e29, 0.0, e)
