@@ -19,9 +19,12 @@ see ``graph.band``), so
   (``graph.band.edge``) — the edge projection is factored so only D_e≈4
   extra [T,T] planes stream per window block (see ``banded_transformer``).
 
-The W x-window tiles are expressed as W *blocked* input specs over a
-zero-padded x (k0 tiles of padding top and bottom), so Pallas pipelines the
-HBM→VMEM streaming automatically — no manual DMA needed.
+Kernels process **G receiver tiles per grid step** (``_choose_group``): the
+sliding sender window is expressed as G+W−1 *blocked* input specs over the
+unpadded feature array with clamped index maps (``_clamped_window_specs``),
+so Pallas pipelines the HBM→VMEM streaming automatically — no manual DMA,
+no padded copy, and the window overlap is amortized ~W/((G+W−1)/G)× across
+the group.
 
 Backward passes route through ``jax.custom_vjp`` into the **fused Pallas
 backward kernels** of :mod:`.banded_bwd` (flash-style: attention recomputed
@@ -41,22 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pad_windows(x: jax.Array, tile: int, k0: int = 1) -> jax.Array:
-    """Zero-pad k0 tiles of rows on each side so window tiles never clamp."""
-    return jnp.pad(x, ((k0 * tile, k0 * tile), (0, 0)))
-
-
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
-
-
-def _window_specs(window: int, tile: int, feat: int):
-    """W blocked input specs over a k0-padded array: block k ↦ tile i+k."""
-    return [
-        pl.BlockSpec((tile, feat), lambda i, k=k: (i + k, 0),
-                     memory_space=pltpu.VMEM)
-        for k in range(window)
-    ]
 
 
 def _clamped_window_specs(window: int, tile: int, feat: int, n_tiles: int,
@@ -88,7 +77,9 @@ _GROUP_VMEM_BUDGET = 13 * 2 ** 20
 
 
 def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
-                  extra_out_bytes_per_tile: int = 0, max_group: int = 16) -> int:
+                  extra_out_bytes_per_tile: int = 0,
+                  extra_in_bytes_per_tile: int = 0,
+                  max_group: int = 16) -> int:
     """Largest receiver-tile group G (∈ 16,8,4,2,1) that divides ``n_tiles``
     and keeps the double-buffered VMEM estimate under budget.
 
@@ -109,6 +100,7 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
             + g * window * tile * tile          # int8 mask / coeff block
             + g * tile * feat_bytes             # main output
             + g * tile * extra_out_bytes_per_tile
+            + g * tile * extra_in_bytes_per_tile
         )
         if est <= _GROUP_VMEM_BUDGET:
             return g
@@ -116,42 +108,53 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
 
 
 # --------------------------------------------------------------------- SpMM
-def _spmm_kernel(a_ref, *refs, window):
-    xs, o_ref = refs[:window], refs[window]
-    a = a_ref[0]
-    acc = jnp.dot(a[0], xs[0][:], preferred_element_type=jnp.float32)
-    for k in range(1, window):
-        acc += jnp.dot(a[k], xs[k][:], preferred_element_type=jnp.float32)
-    o_ref[:] = acc.astype(o_ref.dtype)
+def _spmm_kernel(a_ref, *refs, window, group):
+    span = group + window - 1
+    xs, o_ref = refs[:span], refs[span]
+    tile = xs[0].shape[0]
+    for g in range(group):
+        a = a_ref[g]
+        acc = jnp.dot(a[0], xs[g][:], preferred_element_type=jnp.float32)
+        for k in range(1, window):
+            acc += jnp.dot(a[k], xs[g + k][:],
+                           preferred_element_type=jnp.float32)
+        o_ref[g * tile:(g + 1) * tile] = acc.astype(o_ref.dtype)
 
 
 def banded_spmm_fwd(band_coeff: jax.Array, x: jax.Array) -> jax.Array:
     """out = BandMatrix(band_coeff) @ x.
 
     band_coeff: [n_tiles, W, T, T]; x: [n_tiles*T, H] → out same shape as x.
+    Out-of-range window blocks of boundary tiles are all-zero coefficient
+    blocks, so the clamped window duplicates contribute nothing.
     """
     n_tiles, window, tile, _ = band_coeff.shape
-    k0 = window // 2
     h = x.shape[1]
-    xp = _pad_windows(x, tile, k0)
+    cb = band_coeff.dtype.itemsize
+    group = _choose_group(
+        n_tiles, window, tile,
+        feat_bytes=h * x.dtype.itemsize,
+        extra_in_bytes_per_tile=window * tile * (cb - 1),  # coeff blocks > 1B
+    )
+    span = group + window - 1
     return pl.pallas_call(
-        functools.partial(_spmm_kernel, window=window),
-        grid=(n_tiles,),
+        functools.partial(_spmm_kernel, window=window, group=group),
+        grid=(n_tiles // group,),
         in_specs=[
-            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_window_specs(window, tile, h),
+            *_clamped_window_specs(window, tile, h, n_tiles, group),
         ],
-        out_specs=pl.BlockSpec((tile, h), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((group * tile, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * window * tile * tile * h,
-            bytes_accessed=band_coeff.size * 4 + (window + 1) * x.size * 4,
+            bytes_accessed=band_coeff.size * cb + 2 * x.size * 4,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(band_coeff, *([xp] * window))
+    )(band_coeff, *([x] * span))
 
 
 @jax.custom_vjp
@@ -331,11 +334,13 @@ def banded_gat_fwd(
 
 
 # ------------------------------------------------- Transformer attention
-def _transformer_kernel(*refs, window, heads, scale, edge_dim,
+def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
                         dropout_rate=0.0):
     """Scaled-dot-product neighbor attention; optional edge conditioning.
 
-    With edge features the PyG TransformerConv semantics are
+    Grouped like ``_gat_kernel``: G receiver tiles per grid step share the
+    sliding sender window (span G+W−1 k/v tiles).  With edge features the
+    PyG TransformerConv semantics are
     ``logit = q·(k_j + e_ij)·scale`` and ``out = Σ p·(v_j + e_ij)`` where
     ``e_ij = W_e @ feat_ij``.  Both terms are factored so the kernel only
     streams the raw D_e-dim banded features:
@@ -349,67 +354,72 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim,
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
-    q_ref = refs[i]; i += 1
-    ks = refs[i:i + window]; i += window
-    vs = refs[i:i + window]; i += window
+    span = group + window - 1
+    mask_ref = refs[i]; i += 1                   # [G, W, T, T]
+    q_ref = refs[i]; i += 1                      # [G·T, HC]
+    ks = refs[i:i + span]; i += span
+    vs = refs[i:i + span]; i += span
     if edge_dim:
-        feat_ref = refs[i]; i += 1   # [1, W, D_e, T, T]
-        qw_ref = refs[i]; i += 1     # [T, H*D_e]
+        feat_ref = refs[i]; i += 1   # [G, W, D_e, T, T]
+        qw_ref = refs[i]; i += 1     # [G·T, H*D_e]
         o_ref, s_ref = refs[i], refs[i + 1]
     else:
         o_ref = refs[i]
     if dropout_rate > 0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         inv_keep = 1.0 / (1.0 - dropout_rate)
-    tile = q_ref.shape[0]
+    tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
-    # int8 0/1 mask → additive 0/−1e30 bias blocks, once for all heads
-    mask = mask_ref[0]
-    bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30 for k in range(window)]
-    outs = []
-    souts = []
-    for h in range(heads):
-        q = q_ref[:, h * c:(h + 1) * c]
-        logits = []
-        for k in range(window):
-            kk = ks[k][:, h * c:(h + 1) * c]
-            l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
-            if edge_dim:
-                for d in range(edge_dim):
-                    qw_d = qw_ref[:, h * edge_dim + d][:, None]  # [T, 1]
-                    l += (qw_d * scale) * feat_ref[0, k, d]
-            logits.append(l + bias[k])
-        full = jnp.concatenate(logits, axis=1)
-        m = jnp.max(full, axis=1, keepdims=True)
-        # guard all-masked rows (padding): shift by a finite max
-        m = jnp.maximum(m, -1e30)
-        e = jnp.exp(full - m)
-        e = jnp.where(full <= -1e29, 0.0, e)
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        p = e / denom
+    for g in range(group):
+        # int8 0/1 mask → additive 0/−1e30 bias blocks, once for all heads
+        mask = mask_ref[g]
+        bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30
+                for k in range(window)]
+        outs = []
+        souts = []
+        rows = slice(g * tile, (g + 1) * tile)
         if dropout_rate > 0:
-            p = _attn_dropout(p, dropout_rate, inv_keep)
-        acc = jnp.dot(p[:, :tile], vs[0][:, h * c:(h + 1) * c],
-                      preferred_element_type=jnp.float32)
-        for k in range(1, window):
-            acc += jnp.dot(p[:, k * tile:(k + 1) * tile],
-                           vs[k][:, h * c:(h + 1) * c],
-                           preferred_element_type=jnp.float32)
-        outs.append(acc)
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
+        for h in range(heads):
+            q = q_ref[rows, h * c:(h + 1) * c]
+            logits = []
+            for k in range(window):
+                kk = ks[g + k][:, h * c:(h + 1) * c]
+                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
+                if edge_dim:
+                    for d in range(edge_dim):
+                        qw_d = qw_ref[rows, h * edge_dim + d][:, None]  # [T, 1]
+                        l += (qw_d * scale) * feat_ref[g, k, d]
+                logits.append(l + bias[k])
+            full = jnp.concatenate(logits, axis=1)
+            m = jnp.max(full, axis=1, keepdims=True)
+            # guard all-masked rows (padding): shift by a finite max
+            m = jnp.maximum(m, -1e30)
+            e = jnp.exp(full - m)
+            e = jnp.where(full <= -1e29, 0.0, e)
+            denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+            p = e / denom
+            if dropout_rate > 0:
+                p = _attn_dropout(p, dropout_rate, inv_keep)
+            acc = jnp.dot(p[:, :tile], vs[g][:, h * c:(h + 1) * c],
+                          preferred_element_type=jnp.float32)
+            for k in range(1, window):
+                acc += jnp.dot(p[:, k * tile:(k + 1) * tile],
+                               vs[g + k][:, h * c:(h + 1) * c],
+                               preferred_element_type=jnp.float32)
+            outs.append(acc)
+            if edge_dim:
+                ss = []
+                for d in range(edge_dim):
+                    sd = jnp.zeros((tile, 1), jnp.float32)
+                    for k in range(window):
+                        pk = p[:, k * tile:(k + 1) * tile]
+                        sd += jnp.sum(pk * feat_ref[g, k, d], axis=1,
+                                      keepdims=True)
+                    ss.append(sd)
+                souts.append(jnp.concatenate(ss, axis=1))  # [T, D_e]
+        o_ref[rows] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
         if edge_dim:
-            ss = []
-            for d in range(edge_dim):
-                sd = jnp.zeros((tile, 1), jnp.float32)
-                for k in range(window):
-                    pk = p[:, k * tile:(k + 1) * tile]
-                    sd += jnp.sum(pk * feat_ref[0, k, d], axis=1,
-                                  keepdims=True)
-                ss.append(sd)
-            souts.append(jnp.concatenate(ss, axis=1))  # [T, D_e]
-    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
-    if edge_dim:
-        s_ref[:] = jnp.concatenate(souts, axis=1).astype(s_ref.dtype)
+            s_ref[rows] = jnp.concatenate(souts, axis=1).astype(s_ref.dtype)
 
 
 def banded_transformer_fwd(
@@ -429,49 +439,57 @@ def banded_transformer_fwd(
     ``s`` [N, H*D_e] of attention-weighted edge features (see kernel doc).
     """
     n_tiles, window, tile, _ = bias_noself.shape
-    k0 = window // 2
     hc = q.shape[1]
     c = hc // heads
-    kp = _pad_windows(k, tile, k0)
-    vp = _pad_windows(v, tile, k0)
-    edge_dim = 0
+    edge_dim = edge_band.shape[2] if edge_band is not None else 0
+    group = _choose_group(
+        n_tiles, window, tile,
+        feat_bytes=2 * hc * q.dtype.itemsize,  # windowed k and v streams
+        extra_in_bytes_per_tile=(
+            hc * q.dtype.itemsize               # direct q tile
+            + window * edge_dim * tile * 4      # f32 edge-feature planes
+        ),
+        extra_out_bytes_per_tile=heads * edge_dim * 4,
+    )
+    span = group + window - 1
     extra = []
     extra_specs = []
-    if edge_band is not None:
-        edge_dim = edge_band.shape[2]
+    if edge_dim:
         extra = [edge_band, qw]
         extra_specs = [
-            pl.BlockSpec((1, window, edge_dim, tile, tile),
+            pl.BlockSpec((group, window, edge_dim, tile, tile),
                          lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+            pl.BlockSpec((group * tile, heads * edge_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
     kernel = functools.partial(
         _transformer_kernel, window=window, heads=heads,
-        scale=1.0 / (c ** 0.5), edge_dim=edge_dim, dropout_rate=dropout_rate,
+        scale=1.0 / (c ** 0.5), edge_dim=edge_dim, group=group,
+        dropout_rate=dropout_rate,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
-    out_spec = pl.BlockSpec((tile, hc), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     if edge_dim:
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((q.shape[0], heads * edge_dim),
                                           jnp.float32))
         out_spec = (out_spec,
-                    pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM))
+                    pl.BlockSpec((group * tile, heads * edge_dim),
+                                 lambda i: (i, 0), memory_space=pltpu.VMEM))
     edge_bytes = edge_band.size * edge_band.dtype.itemsize if edge_dim else 0
     return pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_window_specs(window, tile, hc),
-            *_window_specs(window, tile, hc),
+            pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(window, tile, hc, n_tiles, group),
+            *_clamped_window_specs(window, tile, hc, n_tiles, group),
             *extra_specs,
         ],
         out_specs=out_spec,
@@ -483,7 +501,7 @@ def banded_transformer_fwd(
             transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_noself, q, *([kp] * window), *([vp] * window), *extra)
+    )(*seed_in, bias_noself, q, *([k] * span), *([v] * span), *extra)
 
 
 def _zero_cot(x):

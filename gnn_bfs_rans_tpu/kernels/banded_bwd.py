@@ -30,18 +30,6 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pad_windows(x: jax.Array, tile: int, k0: int) -> jax.Array:
-    return jnp.pad(x, ((k0 * tile, k0 * tile), (0, 0)))
-
-
-def _window_specs(window: int, tile: int, feat: int):
-    return [
-        pl.BlockSpec((tile, feat), lambda i, k=k: (i + k, 0),
-                     memory_space=pltpu.VMEM)
-        for k in range(window)
-    ]
-
-
 def _part_spec(window: int, tile: int, feat: int, group: int = 1):
     return pl.BlockSpec((group, window, tile, feat), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -215,18 +203,19 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
 
 
 # ---------------------------------------------------- Transformer backward
-def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs,
+def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                    dropout_rate=0.0):
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
-    q_ref = refs[i]; i += 1
-    ks = refs[i:i + window]; i += window
-    vs = refs[i:i + window]; i += window
+    span = group + window - 1
+    mask_ref = refs[i]; i += 1                   # [G, W, T, T]
+    q_ref = refs[i]; i += 1                      # [G·T, HC]
+    ks = refs[i:i + span]; i += span
+    vs = refs[i:i + span]; i += span
     if edge_dim:
-        feat_ref = refs[i]; i += 1   # [1, W, D_e, T, T]
-        qw_ref = refs[i]; i += 1     # [T, H*D_e]
+        feat_ref = refs[i]; i += 1   # [G, W, D_e, T, T]
+        qw_ref = refs[i]; i += 1     # [G·T, H*D_e]
     g_ref = refs[i]; i += 1
     gs_ref = refs[i] if has_gs else None
     i += 1 if has_gs else 0
@@ -234,87 +223,93 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs,
     dk_ref, dv_ref = refs[i], refs[i + 1]; i += 2
     dqw_ref = refs[i] if edge_dim else None
 
-    tile = q_ref.shape[0]
+    tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
-    # int8 0/1 mask → additive bias blocks, once for all heads
-    mask = mask_ref[0]
-    bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30 for k in range(window)]
     if dropout_rate > 0:
         from .banded import _dropout_thresh
 
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         inv_keep = 1.0 / (1.0 - dropout_rate)
-    dq_cols, dqw_cols = [], []
-    dk_blocks = [[] for _ in range(window)]
-    dv_blocks = [[] for _ in range(window)]
-    for h in range(heads):
-        q = q_ref[:, h * c:(h + 1) * c]
-        g_h = g_ref[:, h * c:(h + 1) * c].astype(jnp.float32)
-        logits, dps = [], []
-        for k in range(window):
-            kk = ks[k][:, h * c:(h + 1) * c]
-            l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
+    for g in range(group):
+        rows = slice(g * tile, (g + 1) * tile)
+        # int8 0/1 mask → additive bias blocks, once for all heads
+        mask = mask_ref[g]
+        bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30
+                for k in range(window)]
+        if dropout_rate > 0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
+        dq_cols, dqw_cols = [], []
+        dk_blocks = [[] for _ in range(window)]
+        dv_blocks = [[] for _ in range(window)]
+        for h in range(heads):
+            q = q_ref[rows, h * c:(h + 1) * c]
+            g_h = g_ref[rows, h * c:(h + 1) * c].astype(jnp.float32)
+            logits, dps = [], []
+            for k in range(window):
+                kk = ks[g + k][:, h * c:(h + 1) * c]
+                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
+                if edge_dim:
+                    for d in range(edge_dim):
+                        qw_d = qw_ref[rows, h * edge_dim + d][:, None]
+                        l += (qw_d * scale) * feat_ref[g, k, d]
+                logits.append(l + bias[k])
+                vk = vs[g + k][:, h * c:(h + 1) * c]
+                dp = jnp.dot(g_h, vk.T.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+                if has_gs:
+                    for d in range(edge_dim):
+                        gs_d = gs_ref[rows, h * edge_dim + d][:, None]
+                        dp += gs_d.astype(jnp.float32) * feat_ref[g, k, d]
+                dps.append(dp)
+            full = jnp.concatenate(logits, axis=1)
+            m = jnp.maximum(jnp.max(full, axis=1, keepdims=True), -1e30)
+            e = jnp.exp(full - m)
+            e = jnp.where(full <= -1e29, 0.0, e)
+            denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+            p = e / denom
+            dp = jnp.concatenate(dps, axis=1)
+            if dropout_rate > 0:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                keep = bits >= _dropout_thresh(dropout_rate)
+                pd = jnp.where(keep, p * inv_keep, 0.0)
+                dp = jnp.where(keep, dp * inv_keep, 0.0)
+            else:
+                pd = p
+            r = jnp.sum(p * dp, axis=1, keepdims=True)
+            dl = (p * (dp - r)) * scale   # logit grad incl. the 1/√C scale
+            dq_h = jnp.zeros((tile, c), jnp.float32)
+            dqw_h = []
+            for k in range(window):
+                dl_k = dl[:, k * tile:(k + 1) * tile]
+                p_k = pd[:, k * tile:(k + 1) * tile]
+                kk = ks[g + k][:, h * c:(h + 1) * c].astype(jnp.float32)
+                dq_h += jnp.dot(dl_k, kk, preferred_element_type=jnp.float32)
+                dk_blocks[k].append(jnp.dot(
+                    dl_k.T, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ))
+                dv_blocks[k].append(jnp.dot(p_k.T, g_h,
+                                            preferred_element_type=jnp.float32))
             if edge_dim:
                 for d in range(edge_dim):
-                    qw_d = qw_ref[:, h * edge_dim + d][:, None]
-                    l += (qw_d * scale) * feat_ref[0, k, d]
-            logits.append(l + bias[k])
-            vk = vs[k][:, h * c:(h + 1) * c]
-            dp = jnp.dot(g_h, vk.T.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-            if has_gs:
-                for d in range(edge_dim):
-                    gs_d = gs_ref[:, h * edge_dim + d][:, None]
-                    dp += gs_d.astype(jnp.float32) * feat_ref[0, k, d]
-            dps.append(dp)
-        full = jnp.concatenate(logits, axis=1)
-        m = jnp.maximum(jnp.max(full, axis=1, keepdims=True), -1e30)
-        e = jnp.exp(full - m)
-        e = jnp.where(full <= -1e29, 0.0, e)
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        p = e / denom
-        dp = jnp.concatenate(dps, axis=1)
-        if dropout_rate > 0:
-            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
-            keep = bits >= _dropout_thresh(dropout_rate)
-            pd = jnp.where(keep, p * inv_keep, 0.0)
-            dp = jnp.where(keep, dp * inv_keep, 0.0)
-        else:
-            pd = p
-        r = jnp.sum(p * dp, axis=1, keepdims=True)
-        dl = (p * (dp - r)) * scale       # logit grad incl. the 1/√C scale
-        dq_h = jnp.zeros((tile, c), jnp.float32)
-        dqw_h = []
-        for k in range(window):
-            dl_k = dl[:, k * tile:(k + 1) * tile]
-            p_k = pd[:, k * tile:(k + 1) * tile]
-            kk = ks[k][:, h * c:(h + 1) * c].astype(jnp.float32)
-            dq_h += jnp.dot(dl_k, kk, preferred_element_type=jnp.float32)
-            dk_blocks[k].append(jnp.dot(
-                dl_k.T, q.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ))
-            dv_blocks[k].append(jnp.dot(p_k.T, g_h,
-                                        preferred_element_type=jnp.float32))
+                    acc = jnp.zeros((tile, 1), jnp.float32)
+                    for k in range(window):
+                        dl_k = dl[:, k * tile:(k + 1) * tile]
+                        acc += jnp.sum(dl_k * feat_ref[g, k, d], axis=1,
+                                       keepdims=True)
+                    dqw_h.append(acc)
+                dqw_cols.append(jnp.concatenate(dqw_h, axis=1))  # [T, D_e]
+            dq_cols.append(dq_h)
+        dq_ref[rows] = jnp.concatenate(dq_cols, axis=1).astype(dq_ref.dtype)
+        dk_ref[g] = jnp.stack(
+            [jnp.concatenate(bs, axis=1) for bs in dk_blocks], axis=0
+        ).astype(dk_ref.dtype)
+        dv_ref[g] = jnp.stack(
+            [jnp.concatenate(bs, axis=1) for bs in dv_blocks], axis=0
+        ).astype(dv_ref.dtype)
         if edge_dim:
-            for d in range(edge_dim):
-                acc = jnp.zeros((tile, 1), jnp.float32)
-                for k in range(window):
-                    dl_k = dl[:, k * tile:(k + 1) * tile]
-                    acc += jnp.sum(dl_k * feat_ref[0, k, d], axis=1,
-                                   keepdims=True)
-                dqw_h.append(acc)
-            dqw_cols.append(jnp.concatenate(dqw_h, axis=1))  # [T, D_e]
-        dq_cols.append(dq_h)
-    dq_ref[:] = jnp.concatenate(dq_cols, axis=1).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.stack(
-        [jnp.concatenate(bs, axis=1) for bs in dk_blocks], axis=0
-    ).astype(dk_ref.dtype)
-    dv_ref[0] = jnp.stack(
-        [jnp.concatenate(bs, axis=1) for bs in dv_blocks], axis=0
-    ).astype(dv_ref.dtype)
-    if edge_dim:
-        dqw_ref[:] = jnp.concatenate(dqw_cols, axis=1).astype(dqw_ref.dtype)
+            dqw_ref[rows] = jnp.concatenate(
+                dqw_cols, axis=1).astype(dqw_ref.dtype)
 
 
 def banded_transformer_bwd(
@@ -328,41 +323,51 @@ def banded_transformer_bwd(
     conditioning is on) the cotangent of the weighted-edge-feature output
     ``s``.  Returns (dq, dk, dv) or (dq, dk, dv, dqw).
     """
+    from .banded import _choose_group, _clamped_window_specs, _seed_inputs
+
     n_tiles, window, tile, _ = bias_noself.shape
-    k0 = window // 2
     hc = q.shape[1]
     c = hc // heads
     n = q.shape[0]
-    kp = _pad_windows(k, tile, k0)
-    vp = _pad_windows(v, tile, k0)
-    edge_dim = 0
+    edge_dim = edge_band.shape[2] if edge_band is not None else 0
+    group = _choose_group(
+        n_tiles, window, tile,
+        feat_bytes=2 * hc * q.dtype.itemsize + 2 * hc * 4,
+        extra_in_bytes_per_tile=(
+            2 * hc * q.dtype.itemsize           # direct q and g tiles
+            + window * edge_dim * tile * 4      # f32 edge-feature planes
+            + 2 * heads * edge_dim * 4          # qw + gs tiles
+        ),
+        # f32 per-window partials (dk + dv) dominate the output side
+        extra_out_bytes_per_tile=2 * window * hc * 4 + heads * edge_dim * 4,
+    )
+    span = group + window - 1
     extra, extra_specs = [], []
-    if edge_band is not None:
-        edge_dim = edge_band.shape[2]
+    if edge_dim:
         extra = [edge_band, qw]
         extra_specs = [
-            pl.BlockSpec((1, window, edge_dim, tile, tile),
+            pl.BlockSpec((group, window, edge_dim, tile, tile),
                          lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+            pl.BlockSpec((group * tile, heads * edge_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
     has_gs = gs is not None
     gs_in, gs_specs = [], []
     if has_gs:
         gs_in = [gs]
-        gs_specs = [pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
+        gs_specs = [pl.BlockSpec((group * tile, heads * edge_dim),
+                                 lambda i: (i, 0), memory_space=pltpu.VMEM)]
     kernel = functools.partial(
         _tr_bwd_kernel, window=window, heads=heads, scale=1.0 / (c ** 0.5),
-        edge_dim=edge_dim, has_gs=has_gs, dropout_rate=dropout_rate,
+        edge_dim=edge_dim, has_gs=has_gs, group=group,
+        dropout_rate=dropout_rate,
     )
-    from .banded import _seed_inputs
-
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     out_specs = [
-        pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        _part_spec(window, tile, hc),
-        _part_spec(window, tile, hc),
+        pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        _part_spec(window, tile, hc, group),
+        _part_spec(window, tile, hc, group),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n, hc), jnp.float32),
@@ -371,22 +376,24 @@ def banded_transformer_bwd(
     ]
     if edge_dim:
         out_specs.append(
-            pl.BlockSpec((tile, heads * edge_dim), lambda i: (i, 0),
+            pl.BlockSpec((group * tile, heads * edge_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((n, heads * edge_dim), jnp.float32))
     outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((1, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_window_specs(window, tile, hc),
-            *_window_specs(window, tile, hc),
+            pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(window, tile, hc, n_tiles, group),
+            *_clamped_window_specs(window, tile, hc, n_tiles, group),
             *extra_specs,
-            pl.BlockSpec((tile, hc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             *gs_specs,
         ],
         out_specs=tuple(out_specs),
@@ -398,7 +405,7 @@ def banded_transformer_bwd(
             transcendentals=n_tiles * heads * tile * window * tile,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_noself, q, *([kp] * window), *([vp] * window), *extra,
+    )(*seed_in, bias_noself, q, *([k] * span), *([v] * span), *extra,
       g, *gs_in)
     dq = outs[0].astype(q.dtype)
     dk = combine_partials(outs[1]).astype(k.dtype)
