@@ -203,7 +203,7 @@ def _attn_dropout(p, rate: float, inv_keep: float):
 
 # ---------------------------------------------------------- GAT attention
 def _gat_kernel(*refs, window, heads, negative_slope, group,
-                dropout_rate=0.0):
+                dropout_rate=0.0, mean_heads=False):
     """Grouped, head-stacked fused GAT step: G receiver tiles per grid step.
 
     Per receiver tile the softmax runs head-stacked — one [H·T, W·T] chain
@@ -259,13 +259,27 @@ def _gat_kernel(*refs, window, heads, negative_slope, group,
         if dropout_rate > 0:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
             p = _attn_dropout(p, dropout_rate, inv_keep)
-        outs = [
-            jnp.dot(p[h * tile:(h + 1) * tile], zcat[:, h * c:(h + 1) * c],
-                    preferred_element_type=jnp.float32)
-            for h in range(heads)
-        ]
-        o_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
-            outs, axis=1).astype(o_ref.dtype)
+        if mean_heads:
+            # concat=False epilogue fused in: Σ_h out_h / H → [T, C].  Doing
+            # the head reduction here (accumulator add per MXU matmul) avoids
+            # XLA's strided cross-lane reduce over the [N, H, C] reshape
+            # (~195 µs/layer on the BFS mesh) and shrinks the output stream H×.
+            acc = jnp.dot(p[:tile], zcat[:, :c],
+                          preferred_element_type=jnp.float32)
+            for h in range(1, heads):
+                acc += jnp.dot(p[h * tile:(h + 1) * tile],
+                               zcat[:, h * c:(h + 1) * c],
+                               preferred_element_type=jnp.float32)
+            o_ref[g * tile:(g + 1) * tile] = (
+                acc * (1.0 / heads)).astype(o_ref.dtype)
+        else:
+            outs = [
+                jnp.dot(p[h * tile:(h + 1) * tile], zcat[:, h * c:(h + 1) * c],
+                        preferred_element_type=jnp.float32)
+                for h in range(heads)
+            ]
+            o_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
+                outs, axis=1).astype(o_ref.dtype)
 
 
 def _seed_inputs(dropout_rate: float, seed):
@@ -291,11 +305,17 @@ def banded_gat_fwd(
     negative_slope: float = 0.2,
     dropout_rate: float = 0.0,
     seed: jax.Array | None = None,   # [1] int32 (required when rate > 0)
+    mean_heads: bool = False,
 ) -> jax.Array:
-    """Fused GAT attention-aggregate over the band; returns [N, H*C]."""
+    """Fused GAT attention-aggregate over the band.
+
+    Returns [N, H*C], or the head mean [N, C] when ``mean_heads`` (the
+    reference's ``concat=False`` epilogue, fused — see kernel comment).
+    """
     n_tiles, window, tile, _ = bias_self.shape
     hc = z.shape[1]
     h = alpha_src.shape[1]
+    out_feat = hc // heads if mean_heads else hc
     group = _choose_group(
         n_tiles, window, tile,
         feat_bytes=hc * z.dtype.itemsize + h * alpha_src.dtype.itemsize,
@@ -304,7 +324,7 @@ def banded_gat_fwd(
     kernel = functools.partial(
         _gat_kernel, window=window, heads=heads,
         negative_slope=negative_slope, group=group,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, mean_heads=mean_heads,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     return pl.pallas_call(
@@ -320,9 +340,9 @@ def banded_gat_fwd(
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(window, tile, hc, n_tiles, group),
         ],
-        out_specs=pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((group * tile, out_feat), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+        out_shape=jax.ShapeDtypeStruct((z.shape[0], out_feat), z.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * heads * tile * window * tile * (hc // heads),
             bytes_accessed=bias_self.size * bias_self.dtype.itemsize
@@ -335,7 +355,7 @@ def banded_gat_fwd(
 
 # ------------------------------------------------- Transformer attention
 def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
-                        dropout_rate=0.0):
+                        dropout_rate=0.0, mean_heads=False):
     """Scaled-dot-product neighbor attention; optional edge conditioning.
 
     Grouped like ``_gat_kernel``: G receiver tiles per grid step share the
@@ -417,7 +437,14 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
                                       keepdims=True)
                     ss.append(sd)
                 souts.append(jnp.concatenate(ss, axis=1))  # [T, D_e]
-        o_ref[rows] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        if mean_heads:
+            # fused concat=False epilogue: Σ_h out_h / H (see _gat_kernel)
+            acc = outs[0]
+            for h in range(1, heads):
+                acc += outs[h]
+            o_ref[rows] = (acc * (1.0 / heads)).astype(o_ref.dtype)
+        else:
+            o_ref[rows] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
         if edge_dim:
             s_ref[rows] = jnp.concatenate(souts, axis=1).astype(s_ref.dtype)
 
@@ -432,15 +459,18 @@ def banded_transformer_fwd(
     qw: jax.Array | None = None,          # [N, H*D_e] = per-head q @ W_e^T
     dropout_rate: float = 0.0,
     seed: jax.Array | None = None,
+    mean_heads: bool = False,
 ):
     """Fused scaled-dot-product neighbor attention over the band.
 
-    Returns [N, H*C]; with edge conditioning returns a second array
-    ``s`` [N, H*D_e] of attention-weighted edge features (see kernel doc).
+    Returns [N, H*C] ([N, C] head mean when ``mean_heads``); with edge
+    conditioning returns a second array ``s`` [N, H*D_e] of
+    attention-weighted edge features (see kernel doc).
     """
     n_tiles, window, tile, _ = bias_noself.shape
     hc = q.shape[1]
     c = hc // heads
+    out_feat = c if mean_heads else hc
     edge_dim = edge_band.shape[2] if edge_band is not None else 0
     group = _choose_group(
         n_tiles, window, tile,
@@ -465,11 +495,11 @@ def banded_transformer_fwd(
     kernel = functools.partial(
         _transformer_kernel, window=window, heads=heads,
         scale=1.0 / (c ** 0.5), edge_dim=edge_dim, group=group,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, mean_heads=mean_heads,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
-    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
-    out_spec = pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+    out_shape = jax.ShapeDtypeStruct((q.shape[0], out_feat), q.dtype)
+    out_spec = pl.BlockSpec((group * tile, out_feat), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     if edge_dim:
         out_shape = (out_shape,
@@ -546,6 +576,42 @@ def _gat_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
 banded_gat.defvjp(_gat_vjp_fwd, _gat_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def banded_gat_mean(bias_self, z, alpha_src, alpha_dst, heads,
+                    negative_slope=0.2, dropout_rate=0.0, seed=None):
+    """``banded_gat`` with the head mean fused into the kernel → [N, C].
+
+    The ``concat=False`` GAT epilogue (``gnn_model.py:77-80`` semantics:
+    heads averaged).  Backward expands the [N, C] cotangent to the per-head
+    layout (each head receives g/H) and reuses the fused GAT backward.
+    """
+    return banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+                          negative_slope, dropout_rate, seed, mean_heads=True)
+
+
+def _gatm_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope,
+                  dropout_rate, seed):
+    out = banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+                         negative_slope, dropout_rate, seed, mean_heads=True)
+    return out, (bias_self, z, alpha_src, alpha_dst, seed)
+
+
+def _gatm_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
+    from .banded_bwd import banded_gat_bwd
+
+    bias_self, z, alpha_src, alpha_dst, seed = res
+    g_hc = jnp.tile(g.astype(jnp.float32) * (1.0 / heads), (1, heads))
+    dz, ds, dd = banded_gat_bwd(
+        bias_self, z, alpha_src, alpha_dst, g_hc.astype(z.dtype), heads,
+        negative_slope, dropout_rate=dropout_rate, seed=seed,
+    )
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return _zero_cot(bias_self), dz, ds, dd, dseed
+
+
+banded_gat_mean.defvjp(_gatm_vjp_fwd, _gatm_vjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def banded_transformer(bias_noself, q, k, v, heads, dropout_rate=0.0,
                        seed=None):
@@ -572,6 +638,38 @@ def _tr_vjp_bwd(heads, dropout_rate, res, g):
 
 
 banded_transformer.defvjp(_tr_vjp_fwd, _tr_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def banded_transformer_mean(bias_noself, q, k, v, heads, dropout_rate=0.0,
+                            seed=None):
+    """``banded_transformer`` with the head mean fused → [N, C]."""
+    return banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                  dropout_rate=dropout_rate, seed=seed,
+                                  mean_heads=True)
+
+
+def _trm_vjp_fwd(bias_noself, q, k, v, heads, dropout_rate, seed):
+    out = banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                 dropout_rate=dropout_rate, seed=seed,
+                                 mean_heads=True)
+    return out, (bias_noself, q, k, v, seed)
+
+
+def _trm_vjp_bwd(heads, dropout_rate, res, g):
+    from .banded_bwd import banded_transformer_bwd
+
+    bias_noself, q, k, v, seed = res
+    g_hc = jnp.tile(g.astype(jnp.float32) * (1.0 / heads), (1, heads))
+    dq, dk, dv = banded_transformer_bwd(
+        bias_noself, q, k, v, g_hc.astype(q.dtype), heads,
+        dropout_rate=dropout_rate, seed=seed,
+    )
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return _zero_cot(bias_noself), dq, dk, dv, dseed
+
+
+banded_transformer_mean.defvjp(_trm_vjp_fwd, _trm_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -613,3 +711,46 @@ def _tre_vjp_bwd(heads, dropout_rate, res, g):
 
 
 banded_transformer_edge.defvjp(_tre_vjp_fwd, _tre_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def banded_transformer_edge_mean(bias_noself, edge_band, q, k, v, qw, heads,
+                                 dropout_rate=0.0, seed=None):
+    """Edge-conditioned banded transformer with the head mean fused.
+
+    → (out_mean [N, C], s [N, H*D_e]).  ``s`` stays per-head: its W_e
+    projection + head mean collapse to one [N, H·D_e] @ [H·D_e, C] matmul
+    outside (see ``TransformerConv``), so no strided reduce remains.
+    """
+    return banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                  edge_band=edge_band, qw=qw,
+                                  dropout_rate=dropout_rate, seed=seed,
+                                  mean_heads=True)
+
+
+def _trem_vjp_fwd(bias_noself, edge_band, q, k, v, qw, heads, dropout_rate,
+                  seed):
+    out = banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                 edge_band=edge_band, qw=qw,
+                                 dropout_rate=dropout_rate, seed=seed,
+                                 mean_heads=True)
+    return out, (bias_noself, edge_band, q, k, v, qw, seed)
+
+
+def _trem_vjp_bwd(heads, dropout_rate, res, g):
+    from .banded_bwd import banded_transformer_bwd
+
+    bias_noself, edge_band, q, k, v, qw, seed = res
+    g_out, g_s = g
+    g_hc = jnp.tile(g_out.astype(jnp.float32) * (1.0 / heads), (1, heads))
+    dq, dk, dv, dqw = banded_transformer_bwd(
+        bias_noself, q, k, v, g_hc.astype(q.dtype), heads,
+        edge_band=edge_band, qw=qw, gs=g_s,
+        dropout_rate=dropout_rate, seed=seed,
+    )
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return (_zero_cot(bias_noself), jnp.zeros_like(edge_band),
+            dq, dk, dv, dqw, dseed)
+
+
+banded_transformer_edge_mean.defvjp(_trem_vjp_fwd, _trem_vjp_bwd)

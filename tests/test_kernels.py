@@ -304,6 +304,122 @@ class TestBandedTransformer:
                                        rtol=1e-4, atol=1e-4)
 
 
+class TestMeanHeadVariants:
+    """Kernels with the concat=False head-mean epilogue fused in-kernel."""
+
+    def _gat_inputs(self, g, H=2, C=8, seed=9):
+        rng = np.random.default_rng(seed)
+        z = jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        return z, a_s, a_d
+
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_gat_mean_matches_full(self, width):
+        from gnn_bfs_rans_tpu.kernels.banded import banded_gat_mean
+
+        g = _band_graph(width=width)
+        H, C = 2, 8
+        z, a_s, a_d = self._gat_inputs(g, H, C)
+        out_m = banded_gat_mean(g.band.bias_self, z, a_s, a_d, H, 0.2)
+        out_f = banded_gat(g.band.bias_self, z, a_s, a_d, H, 0.2)
+        assert out_m.shape == (g.n_pad, C)
+        np.testing.assert_allclose(
+            np.asarray(out_m), np.asarray(out_f).reshape(-1, H, C).mean(1),
+            rtol=1e-5, atol=1e-6)
+
+    def test_gat_mean_gradients_match_full(self):
+        from gnn_bfs_rans_tpu.kernels.banded import banded_gat_mean
+
+        g = _band_graph()
+        H, C = 2, 8
+        z, a_s, a_d = self._gat_inputs(g, H, C)
+
+        def loss_m(z_, s_, d_):
+            return jnp.sum(
+                banded_gat_mean(g.band.bias_self, z_, s_, d_, H, 0.2) ** 2)
+
+        def loss_f(z_, s_, d_):
+            out = banded_gat(g.band.bias_self, z_, s_, d_, H, 0.2)
+            return jnp.sum(out.reshape(-1, H, C).mean(axis=1) ** 2)
+
+        gm = jax.grad(loss_m, argnums=(0, 1, 2))(z, a_s, a_d)
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(z, a_s, a_d)
+        for a, b in zip(gm, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_transformer_mean_matches_full(self):
+        from gnn_bfs_rans_tpu.kernels.banded import banded_transformer_mean
+
+        g = _band_graph()
+        rng = np.random.default_rng(11)
+        H, C = 2, 8
+        q, k, v = (jnp.asarray(
+            rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+            for _ in range(3))
+        out_m = banded_transformer_mean(g.band.bias_noself, q, k, v, H)
+        out_f = banded_transformer(g.band.bias_noself, q, k, v, H)
+        assert out_m.shape == (g.n_pad, C)
+        np.testing.assert_allclose(
+            np.asarray(out_m), np.asarray(out_f).reshape(-1, H, C).mean(1),
+            rtol=1e-5, atol=1e-6)
+
+        def loss_m(q_, k_, v_):
+            return jnp.sum(
+                banded_transformer_mean(g.band.bias_noself, q_, k_, v_, H) ** 2)
+
+        def loss_f(q_, k_, v_):
+            out = banded_transformer(g.band.bias_noself, q_, k_, v_, H)
+            return jnp.sum(out.reshape(-1, H, C).mean(axis=1) ** 2)
+
+        gm = jax.grad(loss_m, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gm, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_transformer_edge_mean_matches_full(self):
+        from gnn_bfs_rans_tpu.kernels.banded import (
+            banded_transformer_edge,
+            banded_transformer_edge_mean,
+        )
+
+        g = _band_graph()
+        rng = np.random.default_rng(12)
+        H, C, D = 2, 8, 4
+        q, k, v = (jnp.asarray(
+            rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+            for _ in range(3))
+        qw = jnp.asarray(rng.normal(size=(g.n_pad, H * D)).astype(np.float32))
+        out_m, s_m = banded_transformer_edge_mean(
+            g.band.bias_noself, g.band.edge, q, k, v, qw, H)
+        out_f, s_f = banded_transformer_edge(
+            g.band.bias_noself, g.band.edge, q, k, v, qw, H)
+        assert out_m.shape == (g.n_pad, C)
+        np.testing.assert_allclose(
+            np.asarray(out_m), np.asarray(out_f).reshape(-1, H, C).mean(1),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s_m), np.asarray(s_f),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss(fn):
+            def inner(q_, k_, v_, w_):
+                out, s = fn(g.band.bias_noself, g.band.edge, q_, k_, v_, w_, H)
+                if out.shape[1] == H * C:
+                    out = out.reshape(-1, H, C).mean(axis=1)
+                return jnp.sum(out ** 2) + jnp.sum(s ** 2)
+            return inner
+
+        gm = jax.grad(loss(banded_transformer_edge_mean),
+                      argnums=(0, 1, 2, 3))(q, k, v, qw)
+        gf = jax.grad(loss(banded_transformer_edge),
+                      argnums=(0, 1, 2, 3))(q, k, v, qw)
+        for a, b in zip(gm, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="in-kernel attention dropout needs the Mosaic PRNG")
 class TestAttentionDropout:
