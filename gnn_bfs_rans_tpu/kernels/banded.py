@@ -255,27 +255,33 @@ def _gat_kernel(*refs, window, heads, negative_slope, group,
         m = jnp.max(full, axis=1, keepdims=True)
         e = jnp.exp(full - m)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        p = e / denom
+        # softmax normalization deferred into the matmul epilogue: scaling
+        # the [T, C] outputs by 1/denom is H·W·T/C× fewer VPU divisions than
+        # dividing the [H·T, W·T] probability plane (identical math — denom
+        # is fixed before dropout, so the mask commutes with the scaling)
+        inv = 1.0 / denom                                    # [H·T, 1]
         if dropout_rate > 0:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
-            p = _attn_dropout(p, dropout_rate, inv_keep)
+            e = _attn_dropout(e, dropout_rate, inv_keep)
         if mean_heads:
             # concat=False epilogue fused in: Σ_h out_h / H → [T, C].  Doing
             # the head reduction here (accumulator add per MXU matmul) avoids
             # XLA's strided cross-lane reduce over the [N, H, C] reshape
             # (~195 µs/layer on the BFS mesh) and shrinks the output stream H×.
-            acc = jnp.dot(p[:tile], zcat[:, :c],
-                          preferred_element_type=jnp.float32)
+            acc = jnp.dot(e[:tile], zcat[:, :c],
+                          preferred_element_type=jnp.float32) * inv[:tile]
             for h in range(1, heads):
-                acc += jnp.dot(p[h * tile:(h + 1) * tile],
+                acc += jnp.dot(e[h * tile:(h + 1) * tile],
                                zcat[:, h * c:(h + 1) * c],
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32
+                               ) * inv[h * tile:(h + 1) * tile]
             o_ref[g * tile:(g + 1) * tile] = (
                 acc * (1.0 / heads)).astype(o_ref.dtype)
         else:
             outs = [
-                jnp.dot(p[h * tile:(h + 1) * tile], zcat[:, h * c:(h + 1) * c],
+                jnp.dot(e[h * tile:(h + 1) * tile], zcat[:, h * c:(h + 1) * c],
                         preferred_element_type=jnp.float32)
+                * inv[h * tile:(h + 1) * tile]
                 for h in range(heads)
             ]
             o_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
@@ -417,25 +423,26 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
             e = jnp.exp(full - m)
             e = jnp.where(full <= -1e29, 0.0, e)
             denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-            p = e / denom
+            # normalization deferred into the matmul epilogue (see _gat_kernel)
+            inv = 1.0 / denom                                # [T, 1]
             if dropout_rate > 0:
-                p = _attn_dropout(p, dropout_rate, inv_keep)
-            acc = jnp.dot(p[:, :tile], vs[g][:, h * c:(h + 1) * c],
+                e = _attn_dropout(e, dropout_rate, inv_keep)
+            acc = jnp.dot(e[:, :tile], vs[g][:, h * c:(h + 1) * c],
                           preferred_element_type=jnp.float32)
             for k in range(1, window):
-                acc += jnp.dot(p[:, k * tile:(k + 1) * tile],
+                acc += jnp.dot(e[:, k * tile:(k + 1) * tile],
                                vs[g + k][:, h * c:(h + 1) * c],
                                preferred_element_type=jnp.float32)
-            outs.append(acc)
+            outs.append(acc * inv)
             if edge_dim:
                 ss = []
                 for d in range(edge_dim):
                     sd = jnp.zeros((tile, 1), jnp.float32)
                     for k in range(window):
-                        pk = p[:, k * tile:(k + 1) * tile]
-                        sd += jnp.sum(pk * feat_ref[g, k, d], axis=1,
+                        ek = e[:, k * tile:(k + 1) * tile]
+                        sd += jnp.sum(ek * feat_ref[g, k, d], axis=1,
                                       keepdims=True)
-                    ss.append(sd)
+                    ss.append(sd * inv)
                 souts.append(jnp.concatenate(ss, axis=1))  # [T, D_e]
         if mean_heads:
             # fused concat=False epilogue: Σ_h out_h / H (see _gat_kernel)

@@ -99,13 +99,11 @@ class FlowGNN(nn.Module):
 
             x = x + x_new  # residual (gnn_model.py:184)
             if cfg.use_batch_norm and cfg.norm_type == "batch":
-                # normalization statistics always accumulate in float32
+                # statistics accumulate in float32 inside MaskedBatchNorm;
+                # the normalization itself stays in the compute dtype
                 x = MaskedBatchNorm(cfg.hidden_dim, name=f"bn_{i}")(
-                    x.astype(jnp.float32), graph.node_mask,
-                    use_running_average=not train,
+                    x, graph.node_mask, use_running_average=not train,
                 )
-                if dtype is not None:
-                    x = x.astype(dtype)
             elif cfg.use_batch_norm and cfg.norm_type == "layer":
                 # per-node LayerNorm: no cross-node statistics → identical in
                 # train/eval, padding-safe, and trivially correct under any
