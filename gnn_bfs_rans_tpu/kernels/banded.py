@@ -48,6 +48,14 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _prec(dtype):
+    """Matmul precision by primal dtype: f32 inputs get exact (multi-pass)
+    MXU matmuls — f32 is the accuracy/parity path; bf16 keeps the fast
+    single-pass default.  Without this the default bf16-precision pass makes
+    f32 kernel outputs drift ~5e-3 from a HIGHEST-precision evaluation."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _clamped_window_specs(window: int, tile: int, feat: int, n_tiles: int,
                           group: int = 1):
     """span = G+W−1 window specs over the UNPADDED array, indices clamped.
@@ -79,7 +87,8 @@ _GROUP_VMEM_BUDGET = 13 * 2 ** 20
 def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
                   extra_out_bytes_per_tile: int = 0,
                   extra_in_bytes_per_tile: int = 0,
-                  max_group: int = 16) -> int:
+                  max_group: int = 16,
+                  scratch_bytes_per_tile: int = 0) -> int:
     """Largest receiver-tile group G (∈ 16,8,4,2,1) that divides ``n_tiles``
     and keeps the double-buffered VMEM estimate under budget.
 
@@ -89,7 +98,11 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
 
     ``feat_bytes`` = per-node bytes of the streamed feature rows (all window
     operands combined); ``extra_out_bytes_per_tile`` = per-receiver-node
-    bytes of additional outputs (e.g. f32 window partials in the backward).
+    bytes of additional outputs (e.g. window partials in the backward);
+    ``scratch_bytes_per_tile`` = per-receiver-tile in-kernel working set that
+    Mosaic cannot stream (e.g. the f32 hi/lo operand decompositions of
+    exact-precision matmuls — attention kernels pass this for f32 primals,
+    whose HIGHEST-precision passes otherwise blow the 16 MiB scoped limit).
     """
     for g in (16, 8, 4, 2, 1):
         if g > max_group or n_tiles % g:
@@ -101,7 +114,7 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
             + g * tile * feat_bytes             # main output
             + g * tile * extra_out_bytes_per_tile
             + g * tile * extra_in_bytes_per_tile
-        )
+        ) + g * scratch_bytes_per_tile
         if est <= _GROUP_VMEM_BUDGET:
             return g
     return 1
@@ -112,12 +125,14 @@ def _spmm_kernel(a_ref, *refs, window, group):
     span = group + window - 1
     xs, o_ref = refs[:span], refs[span]
     tile = xs[0].shape[0]
+    prec = _prec(xs[0].dtype)
     for g in range(group):
         a = a_ref[g]
-        acc = jnp.dot(a[0], xs[g][:], preferred_element_type=jnp.float32)
+        acc = jnp.dot(a[0], xs[g][:], preferred_element_type=jnp.float32,
+                      precision=prec)
         for k in range(1, window):
             acc += jnp.dot(a[k], xs[g + k][:],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32, precision=prec)
         o_ref[g * tile:(g + 1) * tile] = acc.astype(o_ref.dtype)
 
 
@@ -263,24 +278,26 @@ def _gat_kernel(*refs, window, heads, negative_slope, group,
         if dropout_rate > 0:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
             e = _attn_dropout(e, dropout_rate, inv_keep)
+        prec = _prec(zs[0].dtype)
         if mean_heads:
             # concat=False epilogue fused in: Σ_h out_h / H → [T, C].  Doing
             # the head reduction here (accumulator add per MXU matmul) avoids
             # XLA's strided cross-lane reduce over the [N, H, C] reshape
             # (~195 µs/layer on the BFS mesh) and shrinks the output stream H×.
             acc = jnp.dot(e[:tile], zcat[:, :c],
-                          preferred_element_type=jnp.float32) * inv[:tile]
+                          preferred_element_type=jnp.float32,
+                          precision=prec) * inv[:tile]
             for h in range(1, heads):
                 acc += jnp.dot(e[h * tile:(h + 1) * tile],
                                zcat[:, h * c:(h + 1) * c],
-                               preferred_element_type=jnp.float32
-                               ) * inv[h * tile:(h + 1) * tile]
+                               preferred_element_type=jnp.float32,
+                               precision=prec) * inv[h * tile:(h + 1) * tile]
             o_ref[g * tile:(g + 1) * tile] = (
                 acc * (1.0 / heads)).astype(o_ref.dtype)
         else:
             outs = [
                 jnp.dot(e[h * tile:(h + 1) * tile], zcat[:, h * c:(h + 1) * c],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=prec)
                 * inv[h * tile:(h + 1) * tile]
                 for h in range(heads)
             ]
@@ -325,6 +342,9 @@ def banded_gat_fwd(
     group = _choose_group(
         n_tiles, window, tile,
         feat_bytes=hc * z.dtype.itemsize + h * alpha_src.dtype.itemsize,
+        scratch_bytes_per_tile=(
+            2 * heads * window * tile * tile * 4
+            if z.dtype == jnp.float32 else 0),
     )
     span = group + window - 1
     kernel = functools.partial(
@@ -395,6 +415,7 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
         inv_keep = 1.0 / (1.0 - dropout_rate)
     tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
+    prec = _prec(ks[0].dtype)
     for g in range(group):
         # int8 0/1 mask → additive 0/−1e30 bias blocks, once for all heads
         mask = mask_ref[g]
@@ -410,7 +431,8 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
             logits = []
             for k in range(window):
                 kk = ks[g + k][:, h * c:(h + 1) * c]
-                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
+                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32,
+                            precision=prec) * scale
                 if edge_dim:
                     for d in range(edge_dim):
                         qw_d = qw_ref[rows, h * edge_dim + d][:, None]  # [T, 1]
@@ -428,11 +450,12 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
             if dropout_rate > 0:
                 e = _attn_dropout(e, dropout_rate, inv_keep)
             acc = jnp.dot(e[:, :tile], vs[g][:, h * c:(h + 1) * c],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision=prec)
             for k in range(1, window):
                 acc += jnp.dot(e[:, k * tile:(k + 1) * tile],
                                vs[g + k][:, h * c:(h + 1) * c],
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
             outs.append(acc * inv)
             if edge_dim:
                 ss = []
@@ -487,6 +510,9 @@ def banded_transformer_fwd(
             + window * edge_dim * tile * 4      # f32 edge-feature planes
         ),
         extra_out_bytes_per_tile=heads * edge_dim * 4,
+        scratch_bytes_per_tile=(
+            2 * heads * window * tile * tile * 4
+            if q.dtype == jnp.float32 else 0),
     )
     span = group + window - 1
     extra = []

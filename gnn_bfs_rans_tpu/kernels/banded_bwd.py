@@ -40,13 +40,16 @@ def combine_partials(part: jax.Array) -> jax.Array:
 
     Block (t, k) contributes to sender tile ``t − k0 + k``; in coordinates of
     a k0-tile-padded array that is tile ``t + k``, so the fold is W shifted
-    adds — pure XLA, no scatter.
+    adds — pure XLA, no scatter.  Accumulation always runs in float32 —
+    partials may be stored in the (bf16) primal dtype to halve the dominant
+    HBM stream of the backward, since the final cotangent is cast to the
+    primal dtype regardless.
     """
     n_tiles, window, tile, feat = part.shape
     k0 = window // 2
-    acc = jnp.zeros((n_tiles + 2 * k0, tile, feat), part.dtype)
+    acc = jnp.zeros((n_tiles + 2 * k0, tile, feat), jnp.float32)
     for k in range(window):
-        acc = acc.at[k:k + n_tiles].add(part[:, k])
+        acc = acc.at[k:k + n_tiles].add(part[:, k].astype(jnp.float32))
     return acc[k0:k0 + n_tiles].reshape(n_tiles * tile, feat)
 
 
@@ -71,7 +74,9 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
 
     tile = zs[0].shape[0]
     c = zs[0].shape[1] // heads
-    from .banded import _dropout_thresh
+    from .banded import _dropout_thresh, _prec
+
+    prec = _prec(zs[0].dtype)
 
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
@@ -94,31 +99,35 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
         m = jnp.max(full, axis=1, keepdims=True)
         e = jnp.exp(full - m)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        p = e / denom
+        # normalization deferred (see banded._gat_kernel): p = e·inv is never
+        # materialized — inv row-scales the narrow [T, C] gout for the dz
+        # matmuls and folds into the softmax-VJP algebra as broadcast mults
+        inv = 1.0 / denom                                    # [H·T, 1]
         gout = [
             g_ref[g * tile:(g + 1) * tile, h * c:(h + 1) * c]
             .astype(jnp.float32)
             for h in range(heads)
         ]
+        gout_s = [gout[h] * inv[h * tile:(h + 1) * tile] for h in range(heads)]
         dp = jnp.concatenate([
             jnp.concatenate([
                 jnp.dot(gout[h],
                         zs[g + k][:, h * c:(h + 1) * c].T.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=prec)
                 for k in range(window)
             ], axis=1)
             for h in range(heads)
         ], axis=0)                                           # [H·T, WT]
         if dropout_rate > 0:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
-            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape), jnp.uint32)
             keep = bits >= _dropout_thresh(dropout_rate)
-            pd = jnp.where(keep, p * inv_keep, 0.0)   # p as the fwd used it
+            e_d = jnp.where(keep, e * inv_keep, 0.0)  # e as the fwd used it
             dp = jnp.where(keep, dp * inv_keep, 0.0)  # dpd → dp through mask
         else:
-            pd = p
-        r = jnp.sum(p * dp, axis=1, keepdims=True)
-        dl = p * (dp - r)                                    # softmax VJP
+            e_d = e
+        r = jnp.sum(e * dp, axis=1, keepdims=True) * inv
+        dl = e * ((dp - r) * inv)                            # softmax VJP
         dpre = dl * jnp.where(pre >= 0, 1.0, negative_slope)  # [H·T, WT]
         dad_cols = []
         das_blocks = [[] for _ in range(window)]  # [k][h] → [T, 1]
@@ -130,8 +139,9 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
                 cols = slice(k * tile, (k + 1) * tile)
                 das_blocks[k].append(
                     jnp.sum(dpre[rows, cols], axis=0)[:, None])
-                dz_blocks[k].append(jnp.dot(pd[rows, cols].T, gout[h],
-                                            preferred_element_type=jnp.float32))
+                dz_blocks[k].append(jnp.dot(e_d[rows, cols].T, gout_s[h],
+                                            preferred_element_type=jnp.float32,
+                                            precision=prec))
         dad_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
             dad_cols, axis=1).astype(dad_ref.dtype)
         das_ref[g] = jnp.stack(
@@ -154,8 +164,12 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
     group = _choose_group(
         n_tiles, window, tile,
         feat_bytes=(hc + h) * z.dtype.itemsize + hc * 4,
-        # f32 per-window partials (dz + dα_src) dominate the output side
-        extra_out_bytes_per_tile=window * (hc + h) * 4,
+        # per-window partials (dz in primal dtype + f32 dα_src) dominate the
+        # output side
+        extra_out_bytes_per_tile=window * (hc * z.dtype.itemsize + h * 4),
+        scratch_bytes_per_tile=(
+            3 * heads * window * tile * tile * 4
+            if z.dtype == jnp.float32 else 0),
     )
     span = group + window - 1
     kernel = functools.partial(
@@ -187,7 +201,9 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
         out_shape=(
             jax.ShapeDtypeStruct((n, h), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, window, tile, h), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, window, tile, hc), jnp.float32),
+            # dz partials in the primal dtype: the combined cotangent is cast
+            # to z.dtype anyway, and f32 partials are the dominant HBM stream
+            jax.ShapeDtypeStruct((n_tiles, window, tile, hc), z.dtype),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * n_tiles * heads * tile * window * tile * (hc // heads),
@@ -225,6 +241,9 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
 
     tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
+    from .banded import _prec
+
+    prec = _prec(ks[0].dtype)
     if dropout_rate > 0:
         from .banded import _dropout_thresh
 
@@ -246,7 +265,8 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
             logits, dps = [], []
             for k in range(window):
                 kk = ks[g + k][:, h * c:(h + 1) * c]
-                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32) * scale
+                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32,
+                            precision=prec) * scale
                 if edge_dim:
                     for d in range(edge_dim):
                         qw_d = qw_ref[rows, h * edge_dim + d][:, None]
@@ -254,7 +274,8 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 logits.append(l + bias[k])
                 vk = vs[g + k][:, h * c:(h + 1) * c]
                 dp = jnp.dot(g_h, vk.T.astype(jnp.float32),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
                 if has_gs:
                     for d in range(edge_dim):
                         gs_d = gs_ref[rows, h * edge_dim + d][:, None]
@@ -265,31 +286,35 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
             e = jnp.exp(full - m)
             e = jnp.where(full <= -1e29, 0.0, e)
             denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-            p = e / denom
+            # normalization deferred (see _gat_bwd_kernel): p never formed
+            inv = 1.0 / denom                                # [T, 1]
+            g_s = g_h * inv   # row-scaled cotangent for the dv matmuls
             dp = jnp.concatenate(dps, axis=1)
             if dropout_rate > 0:
-                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape),
                                      jnp.uint32)
                 keep = bits >= _dropout_thresh(dropout_rate)
-                pd = jnp.where(keep, p * inv_keep, 0.0)
+                e_d = jnp.where(keep, e * inv_keep, 0.0)
                 dp = jnp.where(keep, dp * inv_keep, 0.0)
             else:
-                pd = p
-            r = jnp.sum(p * dp, axis=1, keepdims=True)
-            dl = (p * (dp - r)) * scale   # logit grad incl. the 1/√C scale
+                e_d = e
+            r = jnp.sum(e * dp, axis=1, keepdims=True) * inv
+            dl = (e * ((dp - r) * inv)) * scale  # logit grad incl. 1/√C
             dq_h = jnp.zeros((tile, c), jnp.float32)
             dqw_h = []
             for k in range(window):
                 dl_k = dl[:, k * tile:(k + 1) * tile]
-                p_k = pd[:, k * tile:(k + 1) * tile]
+                e_k = e_d[:, k * tile:(k + 1) * tile]
                 kk = ks[g + k][:, h * c:(h + 1) * c].astype(jnp.float32)
-                dq_h += jnp.dot(dl_k, kk, preferred_element_type=jnp.float32)
+                dq_h += jnp.dot(dl_k, kk, preferred_element_type=jnp.float32,
+                                precision=prec)
                 dk_blocks[k].append(jnp.dot(
                     dl_k.T, q.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=prec,
                 ))
-                dv_blocks[k].append(jnp.dot(p_k.T, g_h,
-                                            preferred_element_type=jnp.float32))
+                dv_blocks[k].append(jnp.dot(e_k.T, g_s,
+                                            preferred_element_type=jnp.float32,
+                                            precision=prec))
             if edge_dim:
                 for d in range(edge_dim):
                     acc = jnp.zeros((tile, 1), jnp.float32)
@@ -338,8 +363,12 @@ def banded_transformer_bwd(
             + window * edge_dim * tile * 4      # f32 edge-feature planes
             + 2 * heads * edge_dim * 4          # qw + gs tiles
         ),
-        # f32 per-window partials (dk + dv) dominate the output side
-        extra_out_bytes_per_tile=2 * window * hc * 4 + heads * edge_dim * 4,
+        # per-window partials (dk + dv, primal dtype) dominate the output side
+        extra_out_bytes_per_tile=(
+            2 * window * hc * q.dtype.itemsize + heads * edge_dim * 4),
+        scratch_bytes_per_tile=(
+            3 * heads * window * tile * tile * 4
+            if q.dtype == jnp.float32 else 0),
     )
     span = group + window - 1
     extra, extra_specs = [], []
@@ -371,8 +400,9 @@ def banded_transformer_bwd(
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n, hc), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), jnp.float32),
+        # dk/dv partials in the primal dtype (see banded_gat_bwd)
+        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), k.dtype),
+        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), v.dtype),
     ]
     if edge_dim:
         out_specs.append(
