@@ -80,7 +80,7 @@ def train_multicase_streamed(
     sharding = NamedSharding(mesh, P("data"))
     step = make_multicase_train_step(model, tcfg, mesh)
     state = None
-    rng = jax.random.PRNGKey(tcfg.seed)
+    rng = jax.random.key(tcfg.seed, impl="rbg")  # see train.Trainer
     lr_arr = jnp.asarray(lr if lr is not None else tcfg.lr, jnp.float32)
     history = []
     graph_dev = graph.to_device()

@@ -161,7 +161,7 @@ def run_benchmark(
         # network latency, not the ~ms of device work).
         raw_step = make_train_step(model, tcfg, jit=False)
         targets = jnp.asarray(dataset.targets)
-        rng = jax.random.PRNGKey(1)
+        rng = jax.random.key(1, impl="rbg")  # matches train.Trainer
         lr = jnp.asarray(3e-4, jnp.float32)
 
         @jax.jit
