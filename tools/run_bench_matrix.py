@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Regenerate artifacts/bench_matrix.json on the attached TPU.
+
+Runs the forward + train benchmark across the conv zoo and backends at the
+flagship width, plus the f32 accuracy-path configuration, with the honest
+chained-marginal methodology.  ~15-25 min wall (compiles dominate).
+
+Usage: python tools/run_bench_matrix.py [--out artifacts/bench_matrix.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIGS = [
+    # (layer_type, backend, compute_dtype, mode)
+    *[(lt, be, "bfloat16", "forward")
+      for lt in ("GCN", "GAT", "GIN", "Transformer")
+      for be in ("pallas", "dense")],
+    *[(lt, "pallas", "bfloat16", "train")
+      for lt in ("GCN", "GAT", "GIN", "Transformer")],
+    ("GAT", "pallas", "float32", "forward"),
+    ("GAT", "dense", "float32", "forward"),
+    ("GAT", "segment", "float32", "forward"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="artifacts/bench_matrix.json")
+    args = ap.parse_args()
+
+    from gnn_bfs_rans_tpu.utils.bench import run_benchmark
+    from gnn_bfs_rans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    results = []
+    for layer_type, backend, dtype, mode in CONFIGS:
+        r = run_benchmark(
+            case_path="/root/reference/OpenFOAM-data",
+            layer_type=layer_type,
+            num_layers=4,
+            hidden_dim=256,
+            backend=backend,
+            compute_dtype=dtype,
+            mode=mode,
+        )
+        results.append(r)
+        print(f"{mode:7s} {layer_type:12s} {backend:7s} {dtype:8s} "
+              f"{r['step_median_s']*1e3:8.2f} ms  "
+              f"{r['value']:.3e} msgs/s", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out} ({len(results)} rows)")
+
+
+if __name__ == "__main__":
+    main()
