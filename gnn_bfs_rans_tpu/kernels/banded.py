@@ -633,10 +633,12 @@ def _gatm_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd
 
     bias_self, z, alpha_src, alpha_dst, seed = res
-    g_hc = jnp.tile(g.astype(jnp.float32) * (1.0 / heads), (1, heads))
+    # the per-head g/H expansion happens inside the backward kernel
+    # (mean_expand) — the tiled [N, H·C] cotangent never touches HBM
     dz, ds, dd = banded_gat_bwd(
-        bias_self, z, alpha_src, alpha_dst, g_hc.astype(z.dtype), heads,
+        bias_self, z, alpha_src, alpha_dst, g.astype(z.dtype), heads,
         negative_slope, dropout_rate=dropout_rate, seed=seed,
+        mean_expand=True,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return _zero_cot(bias_self), dz, ds, dd, dseed
@@ -693,10 +695,9 @@ def _trm_vjp_bwd(heads, dropout_rate, res, g):
     from .banded_bwd import banded_transformer_bwd
 
     bias_noself, q, k, v, seed = res
-    g_hc = jnp.tile(g.astype(jnp.float32) * (1.0 / heads), (1, heads))
     dq, dk, dv = banded_transformer_bwd(
-        bias_noself, q, k, v, g_hc.astype(q.dtype), heads,
-        dropout_rate=dropout_rate, seed=seed,
+        bias_noself, q, k, v, g.astype(q.dtype), heads,
+        dropout_rate=dropout_rate, seed=seed, mean_expand=True,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return _zero_cot(bias_noself), dq, dk, dv, dseed
@@ -775,11 +776,10 @@ def _trem_vjp_bwd(heads, dropout_rate, res, g):
 
     bias_noself, edge_band, q, k, v, qw, seed = res
     g_out, g_s = g
-    g_hc = jnp.tile(g_out.astype(jnp.float32) * (1.0 / heads), (1, heads))
     dq, dk, dv, dqw = banded_transformer_bwd(
-        bias_noself, q, k, v, g_hc.astype(q.dtype), heads,
+        bias_noself, q, k, v, g_out.astype(q.dtype), heads,
         edge_band=edge_band, qw=qw, gs=g_s,
-        dropout_rate=dropout_rate, seed=seed,
+        dropout_rate=dropout_rate, seed=seed, mean_expand=True,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return (_zero_cot(bias_noself), jnp.zeros_like(edge_band),

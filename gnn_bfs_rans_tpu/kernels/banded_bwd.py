@@ -55,7 +55,7 @@ def combine_partials(part: jax.Array) -> jax.Array:
 
 # ------------------------------------------------------------ GAT backward
 def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
-                    dropout_rate=0.0):
+                    dropout_rate=0.0, mean_expand=False):
     """Grouped + head-stacked, mirroring ``banded._gat_kernel`` — the
     softmax recompute runs as wide [H·T, W·T] VPU ops and, when dropout is
     on, the per-receiver-tile re-seeded ``prng_random_bits`` call replays
@@ -103,11 +103,19 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
         # materialized — inv row-scales the narrow [T, C] gout for the dz
         # matmuls and folds into the softmax-VJP algebra as broadcast mults
         inv = 1.0 / denom                                    # [H·T, 1]
-        gout = [
-            g_ref[g * tile:(g + 1) * tile, h * c:(h + 1) * c]
-            .astype(jnp.float32)
-            for h in range(heads)
-        ]
+        if mean_expand:
+            # cotangent of the head-MEAN output: every head receives g/H.
+            # Expanding here (one [T, C] VMEM read shared by all heads)
+            # avoids materializing the tiled [N, H·C] cotangent in HBM.
+            g_mean = (g_ref[g * tile:(g + 1) * tile]
+                      .astype(jnp.float32) * (1.0 / heads))
+            gout = [g_mean] * heads
+        else:
+            gout = [
+                g_ref[g * tile:(g + 1) * tile, h * c:(h + 1) * c]
+                .astype(jnp.float32)
+                for h in range(heads)
+            ]
         gout_s = [gout[h] * inv[h * tile:(h + 1) * tile] for h in range(heads)]
         dp = jnp.concatenate([
             jnp.concatenate([
@@ -153,14 +161,21 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
 
 
 def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
-                   negative_slope=0.2, dropout_rate=0.0, seed=None):
-    """Fused backward of ``banded_gat_fwd`` → (dz, dalpha_src, dalpha_dst)."""
+                   negative_slope=0.2, dropout_rate=0.0, seed=None,
+                   mean_expand=False):
+    """Fused backward of ``banded_gat_fwd`` → (dz, dalpha_src, dalpha_dst).
+
+    With ``mean_expand`` the cotangent ``g`` is that of the head-MEAN output
+    ([N, C]); the per-head expansion g/H happens in VMEM instead of
+    materializing the tiled [N, H·C] cotangent in HBM.
+    """
     from .banded import _choose_group, _clamped_window_specs, _seed_inputs
 
     n_tiles, window, tile, _ = bias_self.shape
     hc = z.shape[1]
     h = alpha_src.shape[1]
     n = z.shape[0]
+    g_feat = hc // heads if mean_expand else hc
     group = _choose_group(
         n_tiles, window, tile,
         feat_bytes=(hc + h) * z.dtype.itemsize + hc * 4,
@@ -175,7 +190,7 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
     kernel = functools.partial(
         _gat_bwd_kernel, window=window, heads=heads,
         negative_slope=negative_slope, group=group,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, mean_expand=mean_expand,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     dad, das_part, dz_part = pl.pallas_call(
@@ -189,7 +204,7 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
             pl.BlockSpec((group * tile, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(window, tile, hc, n_tiles, group),
-            pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+            pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -220,7 +235,7 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
 
 # ---------------------------------------------------- Transformer backward
 def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
-                   dropout_rate=0.0):
+                   dropout_rate=0.0, mean_expand=False):
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
@@ -261,7 +276,11 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
         dv_blocks = [[] for _ in range(window)]
         for h in range(heads):
             q = q_ref[rows, h * c:(h + 1) * c]
-            g_h = g_ref[rows, h * c:(h + 1) * c].astype(jnp.float32)
+            if mean_expand:
+                # head-mean cotangent: every head receives g/H (see GAT bwd)
+                g_h = g_ref[rows].astype(jnp.float32) * (1.0 / heads)
+            else:
+                g_h = g_ref[rows, h * c:(h + 1) * c].astype(jnp.float32)
             logits, dps = [], []
             for k in range(window):
                 kk = ks[g + k][:, h * c:(h + 1) * c]
@@ -341,6 +360,7 @@ def banded_transformer_bwd(
     bias_noself, q, k, v, g, heads,
     edge_band=None, qw=None, gs=None,
     dropout_rate=0.0, seed=None,
+    mean_expand=False,
 ):
     """Fused backward of the (optionally edge-conditioned) transformer forward.
 
@@ -389,8 +409,9 @@ def banded_transformer_bwd(
     kernel = functools.partial(
         _tr_bwd_kernel, window=window, heads=heads, scale=1.0 / (c ** 0.5),
         edge_dim=edge_dim, has_gs=has_gs, group=group,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, mean_expand=mean_expand,
     )
+    g_feat = c if mean_expand else hc
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     out_specs = [
         pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
@@ -422,7 +443,7 @@ def banded_transformer_bwd(
             *_clamped_window_specs(window, tile, hc, n_tiles, group),
             *_clamped_window_specs(window, tile, hc, n_tiles, group),
             *extra_specs,
-            pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+            pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *gs_specs,
         ],
