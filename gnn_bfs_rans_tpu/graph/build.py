@@ -141,10 +141,19 @@ def validate_graph(graph: Graph, senders: np.ndarray, receivers: np.ndarray) -> 
     if senders.min() < 0 or senders.max() >= n or receivers.min() < 0 or receivers.max() >= n:
         raise ValueError("edge indices out of range")
     non_loop = senders != receivers
-    fwd = set(zip(senders[non_loop].tolist(), receivers[non_loop].tolist()))
-    for s, r in list(fwd)[: min(len(fwd), 1000)]:  # spot-check for speed
-        if (r, s) not in fwd:
-            raise ValueError(f"edge ({s},{r}) has no reverse edge")
+    s = senders[non_loop].astype(np.int64)
+    r = receivers[non_loop].astype(np.int64)
+    # full bidirectionality: the multiset of (s,r) keys must equal the
+    # multiset of (r,s) keys — one sort each, covers every edge
+    fwd_keys = np.sort(s * n + r)
+    rev_keys = np.sort(r * n + s)
+    if not np.array_equal(fwd_keys, rev_keys):
+        missing = np.setdiff1d(fwd_keys, rev_keys)
+        e = missing[0] if missing.size else fwd_keys[0]
+        raise ValueError(
+            f"graph is not bidirectional: edge ({e // n},{e % n}) has no "
+            f"reverse edge ({missing.size} asymmetric pairs)"
+        )
     touched = np.zeros(n, dtype=bool)
     touched[senders] = True
     touched[receivers] = True

@@ -103,7 +103,14 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
     Mosaic cannot stream (e.g. the f32 hi/lo operand decompositions of
     exact-precision matmuls — attention kernels pass this for f32 primals,
     whose HIGHEST-precision passes otherwise blow the 16 MiB scoped limit).
+
+    The scratch estimate is hand-tuned and most uncertain exactly on those
+    f32 HIGHEST paths, and a wrong pick fails at Mosaic compile time with no
+    runtime fallback — so when scratch is in play, cap the group at 8 for an
+    extra safety margin (f32 is the parity path, not the perf path).
     """
+    if scratch_bytes_per_tile > 0:
+        max_group = min(max_group, 8)
     for g in (16, 8, 4, 2, 1):
         if g > max_group or n_tiles % g:
             continue
@@ -267,6 +274,11 @@ def _gat_kernel(*refs, window, heads, negative_slope, group,
         )                                                   # [H·T, WT]
         full = jnp.where(full >= 0, full, negative_slope * full)  # LeakyReLU
         full = full + jnp.concatenate([bias_cat] * heads, axis=0)
+        # INVARIANT: every row must have ≥1 unmasked entry, or the softmax
+        # runs over the −1e30 bias alone and aggregates the clamped duplicate
+        # tiles.  build_band guarantees this: bias_self always sets the
+        # diagonal self-loop, INCLUDING padding rows (cf. _transformer_kernel
+        # which instead guards with m = max(m, −1e30) and e-zeroing).
         m = jnp.max(full, axis=1, keepdims=True)
         e = jnp.exp(full - m)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)

@@ -67,10 +67,19 @@ class MaskedBatchNorm(nn.Module):
                     (1 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
 
-        # fold (x − mean)·rsqrt(var+eps)·scale + bias into one x·a + b pass in
-        # x.dtype: avoids materializing an f32 copy of [N, H] per layer (the
-        # f32 round trip cost ~46 µs/layer of the bf16 flagship forward)
+        # Normalize as (x − m̃)·a + b̃ entirely in x.dtype — no f32 copy of
+        # [N, H] per layer (the f32 round trip cost ~46 µs/layer of the bf16
+        # flagship forward).  Subtracting the mean FIRST (rather than folding
+        # it into the bias as x·a + (b − m·a)) keeps bf16 rounding error
+        # proportional to the small centered value, not to |x·a|: for
+        # channels with |mean| ≫ std the folded form cancels two large
+        # bf16-rounded products (a few-percent drift).  m̃ is the mean as
+        # representable in x.dtype; its own rounding error is corrected
+        # exactly in the f32-computed bias term b̃ = b + (m̃ − m)·a.
         inv = jax.lax.rsqrt(var + self.eps)
         eff_scale = scale * inv
-        eff_bias = bias - mean * eff_scale
-        return x * eff_scale.astype(x.dtype) + eff_bias.astype(x.dtype)
+        mean_lo = mean.astype(x.dtype)
+        eff_bias = bias + (mean_lo.astype(jnp.float32) - mean) * eff_scale
+        return (x - mean_lo) * eff_scale.astype(x.dtype) + eff_bias.astype(
+            x.dtype
+        )

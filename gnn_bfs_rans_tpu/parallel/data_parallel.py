@@ -46,18 +46,29 @@ def make_data_mesh(n_devices: int | None = None) -> Mesh:
     return jax.make_mesh((len(devices),), ("data",), devices=np.array(devices))
 
 
-def shard_targets(targets: np.ndarray, mesh: Mesh) -> jax.Array:
+def shard_targets(
+    targets: np.ndarray, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
     """Place [S, ...] snapshot targets sharded over the data axis.
 
-    S must be divisible by the mesh size (pad by repeating snapshots if not —
-    the loss is a mean so duplicates only reweight slightly; we instead
-    require divisibility and let callers tile).
+    Returns ``(targets, weights)``, both sharded ``P('data')``.  When S is not
+    divisible by the mesh size, snapshots are repeated round-robin to pad to a
+    multiple — and every copy of snapshot *i* carries weight ``1/(c_i * S)``
+    (``c_i`` = number of copies), so ``psum(sum(w_j * loss_j))`` is the exact
+    mean over the ORIGINAL S snapshots: duplication never reweights the loss.
+    With divisible S all weights are ``1/S`` and this reduces to a plain mean.
     """
     n = mesh.shape["data"]
-    if targets.shape[0] % n != 0:
-        reps = -(-targets.shape[0] // n) * n // targets.shape[0] + 1
-        targets = np.tile(targets, (reps, 1, 1))[: -(-targets.shape[0] // n) * n]
-    return jax.device_put(targets, NamedSharding(mesh, P("data")))
+    s = targets.shape[0]
+    s_pad = -(-s // n) * n
+    idx = np.arange(s_pad) % s
+    counts = np.bincount(idx, minlength=s)
+    weights = (1.0 / (counts[idx].astype(np.float64) * s)).astype(np.float32)
+    sharding = NamedSharding(mesh, P("data"))
+    return (
+        jax.device_put(targets[idx], sharding),
+        jax.device_put(weights, sharding),
+    )
 
 
 def replicate(tree, mesh: Mesh):
@@ -69,15 +80,14 @@ def make_dp_train_step(
 ) -> Callable:
     """A fully-jitted DP train step: shard_map over the data axis.
 
-    Signature matches the single-chip step:
-    ``(state, graph, targets, lr, rng, freeze_pressure) -> (state, loss)``
-    with ``targets`` sharded ``P('data')`` and everything else replicated.
+    Signature matches the single-chip step plus snapshot weights:
+    ``(state, graph, targets, weights, lr, rng, freeze_pressure) ->
+    (state, loss)`` with ``targets``/``weights`` sharded ``P('data')``
+    (from :func:`shard_targets`) and everything else replicated.
     """
     tx = make_optimizer(cfg)
 
-    def local_step(state, graph, targets_local, lr, rng):
-        n_dev = jax.lax.axis_size("data")
-
+    def local_step(state, graph, targets_local, weights_local, lr, rng):
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -92,12 +102,14 @@ def make_dp_train_step(
                     pressure_ref_weight=cfg.pressure_ref_weight,
                 )
             )(targets_local)
-            # This shard's share of the GLOBAL mean loss.  Params are
-            # axis-invariant inside shard_map, so jax.grad automatically
-            # psums the per-device cotangents over ICI — the returned grads
-            # are already the exact global-batch gradient; no explicit
-            # pmean is needed (and adding one would double-count).
-            loss_share = jnp.sum(per_target) / (per_target.shape[0] * n_dev)
+            # This shard's share of the GLOBAL mean loss (weights sum to 1
+            # across the whole padded batch — exact even when snapshots were
+            # duplicated to pad).  Params are axis-invariant inside
+            # shard_map, so jax.grad automatically psums the per-device
+            # cotangents over ICI — the returned grads are already the exact
+            # global-batch gradient; no explicit pmean is needed (and adding
+            # one would double-count).
+            loss_share = jnp.sum(per_target * weights_local)
             return loss_share, mutated["batch_stats"]
 
         (loss_share, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -114,6 +126,7 @@ def make_dp_train_step(
         state: TrainState,
         graph: Graph,
         targets: jax.Array,
+        weights: jax.Array,
         lr: jax.Array,
         rng: jax.Array,
         freeze_pressure: bool = False,
@@ -121,9 +134,9 @@ def make_dp_train_step(
         loss, grads, new_bs = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P(), P("data"), P(), P()),
+            in_specs=(P(), P(), P("data"), P("data"), P(), P()),
             out_specs=(P(), P(), P()),
-        )(state, graph, targets, lr, rng)
+        )(state, graph, targets, weights, lr, rng)
         if freeze_pressure:
             grads = jax.tree_util.tree_map_with_path(_pressure_freeze_mask, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -67,6 +67,13 @@ class TrainConfig:
     # 'plateau' (reference parity) or 'cosine' (better for long single-case
     # overfitting runs where the eval loss lags BN running stats)
     scheduler: str = "plateau"
+    # Dropout PRNG implementation.  'auto' = 'rbg' on TPU (XLA's on-device
+    # RngBitGenerator; saves ~1.2 ms/step on the flagship GAT train step vs
+    # threefry's long u32 ALU chains), 'threefry' elsewhere.
+    # REPRODUCIBILITY: 'rbg' streams are stable within one backend+XLA
+    # version but NOT across TPU/CPU or across JAX/XLA upgrades — set
+    # rng_impl='threefry' when a seed must reproduce bitwise anywhere.
+    rng_impl: str = "auto"
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -194,8 +201,14 @@ def make_eval_step(model: FlowGNN, cfg: TrainConfig) -> Callable:
                 )
             )(targets)
         )
-        # field errors vs the snapshot-averaged target (diagnostic parity with
-        # evaluate_detailed, which concatenates all snapshots)
+        # Per-snapshot errors, then mean over snapshots.  The reference's
+        # evaluate_detailed (train.py:241-264) instead CONCATENATES all
+        # snapshots and computes one mean over nodes — identical numbers
+        # here, exactly: every snapshot shares the one mesh (equal node
+        # count n), so mean-of-per-snapshot-means == mean-over-concatenation
+        # for every metric (each is a plain mean over nodes).  Equivalence is
+        # pinned by tests/test_train.py::test_eval_errors_match_concatenated
+        # and noted in PARITY.md.
         errs_per = jax.vmap(
             lambda t: compute_field_errors(out, t, graph.node_mask)
         )(targets)

@@ -78,10 +78,13 @@ class Trainer:
         self.train_step = make_train_step(self.model, train_config)
         self.eval_step = make_eval_step(self.model, train_config)
 
-        # rbg keys: XLA's on-device RngBitGenerator instead of threefry —
-        # node-dropout mask generation drops ~1.2 ms/step of the flagship
-        # GAT train step on TPU (threefry lowers to long u32 ALU chains)
-        self.rng = jax.random.key(train_config.seed, impl="rbg")
+        # PRNG impl per TrainConfig.rng_impl ('auto' → rbg on TPU for speed,
+        # threefry elsewhere; see the config field for the reproducibility
+        # caveat — rbg streams are not stable across backends/XLA versions)
+        impl = train_config.rng_impl
+        if impl == "auto":
+            impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        self.rng = jax.random.key(train_config.seed, impl=impl)
         self.np_rng = np.random.default_rng(train_config.seed)
         self.history = empty_history()
         self.state: TrainState | None = None

@@ -64,7 +64,8 @@ def plot_training_curves(
     ax3.set_xlabel("Epoch")
     ax3.set_ylabel("Field Error")
     ax3.set_title("Per-Field Errors (computed every 10 epochs)", fontweight="bold")
-    ax3.legend()
+    if ax3.get_legend_handles_labels()[0]:
+        ax3.legend()
     ax3.grid(True, alpha=0.3)
     ax3.set_yscale("log")
 

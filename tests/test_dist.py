@@ -74,8 +74,48 @@ def test_dp_matches_single_device(small_graph, layer_type):
     graph_r = graph.to_device(
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     )
-    tgt = shard_targets(targets, mesh)
-    s2, loss2 = dp_step(state2, graph_r, tgt, lr, step_rng)
+    tgt, wts = shard_targets(targets, mesh)
+    s2, loss2 = dp_step(state2, graph_r, tgt, wts, lr, step_rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for p1, p2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_dp_non_divisible_snapshots(small_graph):
+    """S=3 on an 8-device mesh (the BFS default): the round-robin duplicate
+    padding must NOT reweight the loss — DP result == single-device
+    full-batch result on the ORIGINAL 3 snapshots (VERDICT r1 item 5)."""
+    mesh = make_data_mesh(8)
+    graph = small_graph
+    mcfg = ModelConfig(
+        hidden_dim=16, num_layers=2, layer_type="GCN",
+        dropout=0.0, backend="dense", use_batch_norm=False,
+    )
+    tcfg = TrainConfig(lr=1e-3)
+    model = FlowGNN(mcfg)
+    state = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    targets = rng.normal(size=(3, graph.n_pad, 7)).astype(np.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    step_rng = jax.random.PRNGKey(2)
+
+    single = make_train_step(model, tcfg)
+    s1, loss1 = single(state, graph, jnp.asarray(targets), lr, step_rng)
+
+    state2 = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
+    dp_step = make_dp_train_step(model, tcfg, mesh)
+    state2 = replicate(state2, mesh)
+    graph_r = graph.to_device(
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    tgt, wts = shard_targets(targets, mesh)
+    assert tgt.shape[0] == 8  # padded to the mesh size
+    np.testing.assert_allclose(float(np.asarray(wts).sum()), 1.0, rtol=1e-6)
+    s2, loss2 = dp_step(state2, graph_r, tgt, wts, lr, step_rng)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
     for p1, p2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
@@ -99,12 +139,12 @@ def test_dp_loss_decreases(small_graph):
     # one learnable target replicated across shards (so the loss is fully
     # reducible — independent noise targets would leave irreducible variance)
     one = rng.normal(size=(1, graph.n_pad, 7)).astype(np.float32) * 0.1
-    targets = shard_targets(np.tile(one, (8, 1, 1)), mesh)
+    targets, wts = shard_targets(np.tile(one, (8, 1, 1)), mesh)
     step = make_dp_train_step(model, tcfg, mesh)
     lr = jnp.asarray(3e-3, jnp.float32)
     losses = []
     for i in range(20):
-        state, loss = step(state, graph_r, targets, lr, jax.random.PRNGKey(i))
+        state, loss = step(state, graph_r, targets, wts, lr, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8
 

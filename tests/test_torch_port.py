@@ -37,9 +37,19 @@ def _make_state_dict(rng, layer_type, hidden, layers, in_dim=3, out_dim=7, heads
             sd[p + "bias"] = _rand((hidden,), rng)
         elif layer_type == "GIN":
             sd[p + "nn.0.weight"] = _rand((hidden, hidden), rng)
-            sd[p + "nn.0.bias"] = _rand((hidden,), rng)
+            sd[p + "nn.0.bias"] = _rand((hidden, ), rng)
             sd[p + "nn.2.weight"] = _rand((hidden, hidden), rng)
             sd[p + "nn.2.bias"] = _rand((hidden,), rng)
+        elif layer_type == "Transformer":
+            # PyG TransformerConv(H, H, heads, concat=False, edge_dim=4):
+            # lin_query/key/value: [heads*H, H] + bias; lin_skip: [H, H] +
+            # bias (concat=False root weight); lin_edge: [heads*H, 4] no bias
+            for lin in ("lin_query", "lin_key", "lin_value"):
+                sd[p + lin + ".weight"] = _rand((heads * hidden, hidden), rng)
+                sd[p + lin + ".bias"] = _rand((heads * hidden,), rng)
+            sd[p + "lin_skip.weight"] = _rand((hidden, hidden), rng)
+            sd[p + "lin_skip.bias"] = _rand((hidden,), rng)
+            sd[p + "lin_edge.weight"] = _rand((heads * hidden, 4), rng)
         b = f"batch_norms.{i}.module."
         sd[b + "weight"] = _rand((hidden,), rng) * 0.1 + 1.0
         sd[b + "bias"] = _rand((hidden,), rng)
@@ -53,8 +63,15 @@ def _make_state_dict(rng, layer_type, hidden, layers, in_dim=3, out_dim=7, heads
     return sd
 
 
-def _numpy_forward(sd, adj, x, layer_type, layers, heads=4):
-    """Dense numpy implementation of the reference FlowGNN in eval mode."""
+def _numpy_forward(sd, adj, x, layer_type, layers, heads=4, edges=None):
+    """Dense numpy implementation of the reference FlowGNN in eval mode.
+
+    ``edges`` = (senders, receivers, edge_feat) — required for the
+    Transformer branch, which conditions keys/values on edge features
+    (scaled dot-product over incoming edges, no self-loop, mean over heads,
+    lin_skip root weight; PyG TransformerConv semantics,
+    reference ``gnn_model.py:77-80``).
+    """
     def lin(prefix, v):
         W = sd[prefix + ".weight"].numpy()
         b = sd[prefix + ".bias"].numpy()
@@ -95,6 +112,39 @@ def _numpy_forward(sd, adj, x, layer_type, layers, heads=4):
             t = np.maximum(t @ sd[p + ".nn.0.weight"].numpy().T
                            + sd[p + ".nn.0.bias"].numpy(), 0)
             h_new = t @ sd[p + ".nn.2.weight"].numpy().T + sd[p + ".nn.2.bias"].numpy()
+        elif layer_type == "Transformer":
+            src, dst, efeat = edges
+            hid = h.shape[1]
+            C = hid  # out_channels = hidden (concat=False)
+
+            def proj(name, bias=True):
+                W = sd[p + "." + name + ".weight"].numpy()
+                out = h @ W.T
+                if bias:
+                    out = out + sd[p + "." + name + ".bias"].numpy()
+                return out.reshape(n, heads, C)
+
+            q = proj("lin_query")
+            k = proj("lin_key")
+            v = proj("lin_value")
+            We = sd[p + ".lin_edge.weight"].numpy()
+            e = (efeat @ We.T).reshape(len(src), heads, C)
+            k_e = k[src] + e            # [E, H, C]
+            v_e = v[src] + e
+            out = np.zeros((n, heads, C))
+            for ii in range(n):
+                inc = np.nonzero(dst == ii)[0]
+                if inc.size == 0:
+                    continue
+                logits = np.einsum(
+                    "hc,khc->kh", q[ii], k_e[inc]
+                ) / np.sqrt(C)
+                ex = np.exp(logits - logits.max(0))
+                attn = ex / ex.sum(0)
+                out[ii] = np.einsum("kh,khc->hc", attn, v_e[inc])
+            skip = (h @ sd[p + ".lin_skip.weight"].numpy().T
+                    + sd[p + ".lin_skip.bias"].numpy())
+            h_new = out.mean(1) + skip
         h = h + h_new
         b = f"batch_norms.{i}.module."
         mean = sd[b + "running_mean"].numpy()
@@ -108,7 +158,7 @@ def _numpy_forward(sd, adj, x, layer_type, layers, heads=4):
     return lin("output_proj.8", h)
 
 
-@pytest.mark.parametrize("layer_type", ["GCN", "GAT", "GIN"])
+@pytest.mark.parametrize("layer_type", ["GCN", "GAT", "GIN", "Transformer"])
 def test_ported_model_matches_reference_math(tiny_graph, layer_type):
     g, adj = tiny_graph
     n = adj.shape[0]
@@ -127,7 +177,15 @@ def test_ported_model_matches_reference_math(tiny_graph, layer_type):
         {"params": params, "batch_stats": batch_stats}, g, train=False
     )
     x = np.asarray(g.node_feat)[:n]
-    expected = _numpy_forward(sd, adj.astype(np.float64), x, layer_type, layers)
+    ne = g.n_edges
+    edges = (
+        np.asarray(g.senders)[:ne],
+        np.asarray(g.receivers)[:ne],
+        np.asarray(g.edge_feat)[:ne].astype(np.float64),
+    )
+    expected = _numpy_forward(
+        sd, adj.astype(np.float64), x, layer_type, layers, edges=edges
+    )
     np.testing.assert_allclose(
         np.asarray(out)[:n], expected, rtol=1e-3, atol=1e-4
     )

@@ -66,6 +66,31 @@ class TestTrainStep:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.7, losses[::10]
 
+    def test_eval_errors_match_concatenated(self, small_dataset):
+        """Per-snapshot-mean errors == reference's concatenate-then-mean
+        (train.py:241-264): exactly equal on a shared mesh (PARITY.md #7)."""
+        from gnn_bfs_rans_tpu.train.loop import make_eval_step
+        from gnn_bfs_rans_tpu.train.metrics import compute_field_errors
+
+        cfg = ModelConfig(hidden_dim=16, num_layers=1, layer_type="GCN")
+        tcfg = TrainConfig()
+        model = FlowGNN(cfg)
+        graph = small_dataset.graph
+        state = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
+        targets = jnp.asarray(small_dataset.targets[:2])
+
+        _, errors, out = make_eval_step(model, tcfg)(state, graph, targets)
+
+        # reference formulation: concatenate snapshots along nodes, one mean
+        out_cat = jnp.concatenate([out, out], axis=0)
+        tgt_cat = jnp.concatenate([targets[0], targets[1]], axis=0)
+        mask_cat = jnp.concatenate([graph.node_mask, graph.node_mask])
+        ref = compute_field_errors(out_cat, tgt_cat, mask_cat)
+        for k in errors:
+            np.testing.assert_allclose(
+                float(errors[k]), float(ref[k]), rtol=1e-6
+            )
+
     def test_pressure_freeze_masks_gradients(self, small_dataset):
         cfg = ModelConfig(hidden_dim=16, num_layers=1, layer_type="GCN",
                           dropout=0.0, use_batch_norm=False)
