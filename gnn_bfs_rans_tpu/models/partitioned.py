@@ -57,9 +57,26 @@ class PartitionedFlowGNN(nn.Module):
         # input projection is per-node → halo rows are already correct
 
         conv_cls = CONV_REGISTRY[cfg.layer_type]
+        # The banded Pallas kernels run per shard when the partition carries
+        # band slices (contiguous RCM shards preserve the band structure);
+        # otherwise the dense neighbor layout is the fallback.
+        backend = cfg.backend if graph.band is not None else "dense"
+        # Edge conditioning rides the banded edge tensor only — the
+        # partitioned layout carries no per-edge COO features, so the
+        # non-band fallbacks must run with edge_dim=None (mirrors the
+        # conv's own band_ok gate, which needs the TPU Mosaic PRNG when
+        # attention dropout is active).
+        edge_ok = (
+            cfg.use_edge_attr
+            and backend == "pallas"
+            and graph.band is not None
+            and graph.band.edge is not None
+            and (cfg.dropout == 0 or not train
+                 or jax.default_backend() == "tpu")
+        )
         for i in range(cfg.num_layers):
             kwargs: dict[str, Any] = dict(
-                features=cfg.hidden_dim, backend="dense", name=f"conv_{i}",
+                features=cfg.hidden_dim, backend=backend, name=f"conv_{i}",
                 dtype=dtype,
             )
             call_kwargs: dict[str, Any] = {}
@@ -67,9 +84,10 @@ class PartitionedFlowGNN(nn.Module):
                 kwargs.update(heads=cfg.heads, concat=False, dropout=cfg.dropout)
                 call_kwargs["deterministic"] = not train
             elif cfg.layer_type == "Transformer":
-                # edge-feature conditioning not carried through the
-                # partitioned layout (edge_dim=None)
-                kwargs.update(heads=cfg.heads, concat=False, dropout=cfg.dropout)
+                kwargs.update(
+                    heads=cfg.heads, concat=False, dropout=cfg.dropout,
+                    edge_dim=(graph.edge_feat.shape[1] if edge_ok else None),
+                )
                 call_kwargs["deterministic"] = not train
             x_new = conv_cls(**kwargs)(x, graph, **call_kwargs)
 

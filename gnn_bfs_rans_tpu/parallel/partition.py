@@ -39,7 +39,14 @@ from ..models.partitioned import PartitionedFlowGNN
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
-    """Per-shard stacked local graphs (leading axis = device)."""
+    """Per-shard stacked local graphs (leading axis = device).
+
+    When the source graph carries a banded adjacency (``graph.band``) and the
+    shard/halo boundaries are tile-aligned, the per-shard ``band_*`` tensors
+    are contiguous slices of the global band — RCM-contiguous shards preserve
+    the band structure exactly, so each shard runs the same Pallas MXU
+    kernels as the single-chip path (halo rows extend the window).
+    """
 
     node_feat: jax.Array   # [n_dev, N_ext, F]
     nbr_idx: jax.Array     # [n_dev, N_ext, D] — indices into the ext rows
@@ -52,6 +59,14 @@ class PartitionedGraph:
     n_loc: int = dataclasses.field(metadata=dict(static=True))
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
 
+    # banded adjacency slices for the Pallas kernels (see graph.band.Band)
+    band_adj: jax.Array | None = None          # [n_dev, T_ext, W, T, T]
+    band_gcn: jax.Array | None = None
+    band_bias_self: jax.Array | None = None    # int8
+    band_bias_noself: jax.Array | None = None  # int8
+    band_edge: jax.Array | None = None         # [n_dev, T_ext, W, D_e, T, T]
+    band_tile: int = dataclasses.field(default=0, metadata=dict(static=True))
+
     @property
     def n_dev(self) -> int:
         return self.node_feat.shape[0]
@@ -59,6 +74,10 @@ class PartitionedGraph:
     @property
     def n_ext(self) -> int:
         return self.node_feat.shape[1]
+
+    @property
+    def has_band(self) -> bool:
+        return self.band_tile > 0
 
 
 def build_partition(
@@ -121,6 +140,8 @@ def build_partition(
         nbr_mask[d, halo:halo + n_loc] = g_mask[s:e]
         owned_mask[d, halo:halo + n_loc] = g_nodemask[s:e]
 
+    band_slices, band_tile = _slice_band(graph, n_dev, n_loc, halo)
+
     return PartitionedGraph(
         node_feat=node_feat,
         nbr_idx=nbr_idx,
@@ -131,7 +152,60 @@ def build_partition(
         halo=halo,
         n_loc=n_loc,
         n_nodes=graph.n_nodes,
+        band_tile=band_tile,
+        **band_slices,
     )
+
+
+def _slice_band(
+    graph: Graph, n_dev: int, n_loc: int, halo: int
+) -> tuple[dict, int]:
+    """Per-shard slices of the global banded adjacency.
+
+    RCM-contiguous shards keep the band structure: shard ``d``'s extended
+    rows are global rows ``[d·n_loc − halo, (d+1)·n_loc + halo)``, so its
+    band tensors are the same contiguous slice of the global band (shifted
+    window indexing is identity — window offsets are relative).  Owned tiles
+    see their complete window as long as ``halo ≥ k0·tile``.
+
+    Out-of-global-range tiles (outer halo of the first/last shard) stay
+    all-zero; for ``bias_self`` their diagonal self-loop is set so the GAT
+    kernel's every-row-has-an-entry invariant holds (cf. ``build_band``'s
+    padding-row treatment; ``_transformer_kernel`` guards all-masked rows
+    itself).
+    """
+    band = graph.band
+    if band is None:
+        return {}, 0
+    tile = band.tile
+    k0 = band.window // 2
+    if halo % tile or n_loc % tile or halo // tile < k0:
+        # misaligned shard/halo boundaries (or halo narrower than the band
+        # window) — fall back to the dense partitioned path
+        return {}, 0
+    ht, lt = halo // tile, n_loc // tile
+    n_ext_tiles = lt + 2 * ht
+    n_tiles = graph.n_pad // tile
+
+    out: dict[str, np.ndarray] = {}
+    diag = np.arange(tile)
+    for name in ("adj", "gcn", "bias_self", "bias_noself", "edge"):
+        arr = getattr(band, name)
+        if arr is None:
+            continue
+        arr = np.asarray(arr)
+        local = np.zeros((n_dev, n_ext_tiles) + arr.shape[1:], dtype=arr.dtype)
+        for d in range(n_dev):
+            t_s = d * lt - ht
+            src_lo, src_hi = max(t_s, 0), min(t_s + n_ext_tiles, n_tiles)
+            local[d, src_lo - t_s:src_hi - t_s] = arr[src_lo:src_hi]
+            if name == "bias_self":
+                for j in list(range(0, src_lo - t_s)) + list(
+                    range(src_hi - t_s, n_ext_tiles)
+                ):
+                    local[d, j, k0, diag, diag] = 1
+        out[f"band_{name}"] = local
+    return out, tile
 
 
 def shard_partition(pgraph: PartitionedGraph, mesh: Mesh) -> PartitionedGraph:
@@ -141,33 +215,52 @@ def shard_partition(pgraph: PartitionedGraph, mesh: Mesh) -> PartitionedGraph:
         **{
             f.name: jax.device_put(getattr(pgraph, f.name), sh)
             for f in dataclasses.fields(pgraph)
-            if f.name not in ("halo", "n_loc", "n_nodes")
+            if f.name not in ("halo", "n_loc", "n_nodes", "band_tile")
+            and getattr(pgraph, f.name) is not None
         },
     )
 
 
-def _local_graph(pg_leaves: dict, halo: int) -> Graph:
+def _local_graph(pg: PartitionedGraph) -> Graph:
     """Assemble a per-device Graph view over the extended rows.
 
-    COO fields are unused by the dense backend; single-entry dummies keep the
-    container well-formed.
+    ``pg`` holds this device's shard with a leading length-1 device axis
+    (as seen inside ``shard_map``).  COO fields are unused by the dense and
+    banded backends; single-entry dummies keep the container well-formed.
+    When band slices are present, a local :class:`Band` is attached so the
+    convs run the same Pallas kernels as the single-chip path.
     """
-    node_feat = pg_leaves["node_feat"]
+    from ..graph.band import Band
+
+    node_feat = pg.node_feat[0]
     n_ext = node_feat.shape[0]
+    band = None
+    if pg.band_tile:
+        band = Band(
+            adj=None if pg.band_adj is None else pg.band_adj[0],
+            gcn=None if pg.band_gcn is None else pg.band_gcn[0],
+            bias_self=(None if pg.band_bias_self is None
+                       else pg.band_bias_self[0]),
+            bias_noself=(None if pg.band_bias_noself is None
+                         else pg.band_bias_noself[0]),
+            tile=pg.band_tile,
+            edge=None if pg.band_edge is None else pg.band_edge[0],
+        )
     dummy_e = jnp.zeros(8, jnp.int32)
     return Graph(
         node_feat=node_feat,
         senders=dummy_e,
         receivers=dummy_e,
         edge_feat=jnp.zeros((8, 4), jnp.float32),
-        node_mask=pg_leaves["real_mask"],
+        node_mask=pg.real_mask[0],
         edge_mask=jnp.zeros(8, bool),
-        in_degree=pg_leaves["in_degree"],
-        nbr_idx=pg_leaves["nbr_idx"],
-        nbr_mask=pg_leaves["nbr_mask"],
-        nbr_edge=jnp.zeros_like(pg_leaves["nbr_idx"]),
+        in_degree=pg.in_degree[0],
+        nbr_idx=pg.nbr_idx[0],
+        nbr_mask=pg.nbr_mask[0],
+        nbr_edge=jnp.zeros_like(pg.nbr_idx[0]),
         n_nodes=n_ext,
         n_edges=0,
+        band=band,
     )
 
 
@@ -181,19 +274,11 @@ def make_partitioned_forward(
     """
     model = PartitionedFlowGNN(config, axis="data")
 
-    def local_fwd(params, batch_stats, node_feat, nbr_idx, nbr_mask,
-                  real_mask, owned_mask, in_degree):
-        leaves = {
-            "node_feat": node_feat[0],
-            "nbr_idx": nbr_idx[0],
-            "nbr_mask": nbr_mask[0],
-            "real_mask": real_mask[0],
-            "in_degree": in_degree[0],
-        }
-        g = _local_graph(leaves, halo)
+    def local_fwd(params, batch_stats, pg: PartitionedGraph):
+        g = _local_graph(pg)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, g,
-            owned_mask=owned_mask[0], halo=halo, train=False,
+            owned_mask=pg.owned_mask[0], halo=halo, train=False,
         )
         n_loc = out.shape[0] - 2 * halo
         return out[halo:halo + n_loc][None]
@@ -203,12 +288,12 @@ def make_partitioned_forward(
         return jax.shard_map(
             local_fwd,
             mesh=mesh,
-            in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data"),
-                      P("data"), P("data")),
+            in_specs=(P(), P(), P("data")),
             out_specs=P("data"),
-        )(params, batch_stats, pgraph.node_feat, pgraph.nbr_idx,
-          pgraph.nbr_mask, pgraph.real_mask, pgraph.owned_mask,
-          pgraph.in_degree)
+            # pallas_call outputs don't carry varying-mesh-axis metadata yet;
+            # vma checking would reject the banded kernels inside shard_map
+            check_vma=False,
+        )(params, batch_stats, pgraph)
 
     return forward
 
@@ -237,10 +322,11 @@ def make_partitioned_train_step(
 
     Signature: ``(state, pgraph, targets, lr, rng) -> (state, loss)`` with
     ``targets`` as produced by :func:`shard_partitioned_targets`.  Params are
-    replicated; ``jax.grad`` inside shard_map auto-psums the cotangents over
-    the data axis, so the returned gradients are the exact global gradients
-    (see ``data_parallel``).  Train-mode BatchNorm statistics psum over owned
-    rows — identical to the full-graph statistics.
+    replicated; per-shard gradients are psum'd explicitly in the local step
+    (``check_vma=False`` — required by the Pallas kernels — disables
+    shard_map's automatic cotangent reduction), yielding the exact global
+    gradients.  Train-mode BatchNorm statistics psum over owned rows —
+    identical to the full-graph statistics.
     """
     import jax.numpy as jnp
     import optax
@@ -251,17 +337,9 @@ def make_partitioned_train_step(
     model = PartitionedFlowGNN(config, axis="data")
     tx = make_optimizer(train_cfg)
 
-    def local_step(state, node_feat, nbr_idx, nbr_mask, real_mask,
-                   owned_mask, in_degree, targets_local, lr, rng):
-        leaves = {
-            "node_feat": node_feat[0],
-            "nbr_idx": nbr_idx[0],
-            "nbr_mask": nbr_mask[0],
-            "real_mask": real_mask[0],
-            "in_degree": in_degree[0],
-        }
-        g = _local_graph(leaves, halo)
-        own = owned_mask[0]
+    def local_step(state, pg, targets_local, lr, rng):
+        g = _local_graph(pg)
+        own = pg.owned_mask[0]
         n_loc = own.shape[0] - 2 * halo
         tgt = targets_local[0]                    # [S, N_loc, 7]
         n_total = jnp.maximum(
@@ -307,6 +385,10 @@ def make_partitioned_train_step(
         (share, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        # With check_vma=False (needed for the Pallas kernels) shard_map no
+        # longer auto-psums the cotangents of axis-invariant params — reduce
+        # the per-shard gradients explicitly to the exact global gradient.
+        grads = jax.lax.psum(grads, "data")
         loss = jax.lax.psum(share, "data")
         return loss, grads, new_bs
 
@@ -318,12 +400,10 @@ def make_partitioned_train_step(
         loss, grads, new_bs = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
-                      P("data"), P("data"), P("data"), P(), P()),
+            in_specs=(P(), P("data"), P("data"), P(), P()),
             out_specs=(P(), P(), P()),
-        )(state, pgraph.node_feat, pgraph.nbr_idx, pgraph.nbr_mask,
-          pgraph.real_mask, pgraph.owned_mask, pgraph.in_degree,
-          targets, lr, rng)
+            check_vma=False,  # see make_partitioned_forward
+        )(state, pgraph, targets, lr, rng)
         if freeze_pressure:
             grads = jax.tree_util.tree_map_with_path(_pressure_freeze_mask, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
