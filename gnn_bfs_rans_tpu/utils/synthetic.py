@@ -69,6 +69,87 @@ def build_grid_graph(
     return graph
 
 
+def run_partition_shard_benchmark(
+    global_nodes: int = 1_000_000,
+    n_shards: int = 8,
+    layer_type: str = "GAT",
+    num_layers: int = 4,
+    hidden_dim: int = 128,
+    compute_dtype: str = "bfloat16",
+    nx: int = 96,
+    halo: int = 128,
+    steps: int = 12,
+) -> dict:
+    """Single-chip banded forward on ONE shard of a partitioned mesh.
+
+    The per-chip throughput proxy for pod-scale partitioned training: one
+    shard of a ``global_nodes``-cell mesh is ``global_nodes/n_shards`` owned
+    rows plus ``2·halo`` halo rows, and the shard runs the SAME
+    ``make_partitioned_forward`` code (1-device mesh) with its band-tensor
+    slices — so this measures exactly the compute each chip does at scale;
+    the per-layer halo ppermute (2·halo·H rows over ICI) is the only part
+    not measured and is negligible by construction.
+    """
+    import jax
+
+    from ..graph.band import LAYER_COMPONENTS
+    from ..models.flow_gnn import FlowGNN, ModelConfig
+    from ..parallel import (
+        build_partition,
+        make_data_mesh,
+        make_partitioned_forward,
+        shard_partition,
+    )
+    from ..train.loop import TrainConfig, init_state
+    from .bench import chained_marginal_time
+
+    n_loc_target = max(global_nodes // n_shards, nx)
+    ny = max(n_loc_target // nx, 1)
+    graph = build_grid_graph(
+        nx, ny, with_band=True,
+        band_components=LAYER_COMPONENTS.get(layer_type),
+    )
+    if graph.band is None:
+        raise ValueError(f"grid nx={nx} is not band-limited at tile=128")
+    mesh = make_data_mesh(1)
+    pg = build_partition(graph, 1, halo=halo)
+    assert pg.has_band, "partition must carry band slices"
+    pg = shard_partition(pg, mesh)
+
+    mcfg = ModelConfig(
+        hidden_dim=hidden_dim, num_layers=num_layers, layer_type=layer_type,
+        backend="pallas", dropout=0.0, compute_dtype=compute_dtype,
+    )
+    model = FlowGNN(mcfg)
+    state = init_state(model, graph, TrainConfig(), jax.random.PRNGKey(0))
+    fwd = make_partitioned_forward(mcfg, mesh, halo=halo)
+
+    def apply_fn(p):
+        return fwd(state.params, state.batch_stats, p)
+
+    step_s = chained_marginal_time(apply_fn, pg, reps=max(steps, 8))
+    msgs = num_layers * graph.n_edges
+    return {
+        "metric": "edge_messages_per_sec_per_chip",
+        "value": msgs / step_s,
+        "unit": "msgs/s",
+        "mode": "partitioned_shard_forward",
+        "global_nodes": global_nodes,
+        "n_shards": n_shards,
+        "shard_nodes": graph.n_nodes,
+        "n_edges": graph.n_edges,
+        "halo": halo,
+        "layer_type": layer_type,
+        "backend": "pallas",
+        "compute_dtype": compute_dtype,
+        "hidden_dim": hidden_dim,
+        "num_layers": num_layers,
+        "step_median_s": step_s,
+        "platform": jax.devices()[0].platform,
+        "timing": "chained_marginal",
+    }
+
+
 def run_scale_benchmark(
     n_nodes: int = 1_000_000,
     layer_type: str = "GAT",
