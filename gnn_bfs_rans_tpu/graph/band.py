@@ -38,17 +38,25 @@ import numpy as np
 NEG_INF = -1e30  # additive mask value the kernels materialize from 0/1 masks
 
 
-ALL_COMPONENTS = ("adj", "gcn", "bias_self", "bias_noself", "edge")
+ALL_COMPONENTS = ("adj", "gcn", "bias_self", "bias_noself", "geo", "edge")
 
 # band components each conv backend actually reads — used to build only
 # what's needed (each component is ~n_pad*W*tile*4 bytes; at 1M cells the
 # full set is several GB, one component ~1.5 GB).  "edge" is the banded
-# [.., D_e, T, T] edge-feature tensor for the edge-conditioned Transformer.
+# [.., D_e, T, T] edge-feature tensor for the edge-conditioned Transformer;
+# "geo" is its factorized form for geometric features [unit dir(3), dist]
+# (always the case for graphs from compute_edge_features): 2 stored planes
+# (dist, 1/dist) instead of D_e=4 — the direction planes factor through the
+# node positions, dir_d = (pos_i[d] − pos_j[d])/dist, so the kernels
+# reconstruct them with one [T,4]@[4,W·T] matmul per head instead of
+# streaming 4 f32 [W,T,T] planes from HBM.  When both are listed, "geo" is
+# built iff the edge features validate as geometric (and "edge" is skipped);
+# otherwise "edge" is the fallback.
 LAYER_COMPONENTS = {
     "GCN": ("gcn",),
     "GIN": ("adj",),
     "GAT": ("bias_self",),
-    "Transformer": ("bias_noself", "edge"),
+    "Transformer": ("bias_noself", "geo", "edge"),
 }
 
 
@@ -60,7 +68,12 @@ class Band:
     bias_self: jax.Array | None    # int8 0/1 attention mask (with self)
     bias_noself: jax.Array | None  # int8 0/1 attention mask
     tile: int = dataclasses.field(metadata=dict(static=True))
-    edge: jax.Array | None = None  # [n_tiles, W, D_e, T, T] bf16 edge features
+    edge: jax.Array | None = None  # [n_tiles, W, D_e, T, T] f32 edge features
+    # factorized geometric edge planes: [n_tiles, W, 2, T, T] f32 —
+    # plane 0 = dist, plane 1 = 1/dist (0 off-band and on self-loops); the
+    # direction planes are reconstructed in-kernel from `pos` (node coords)
+    geo: jax.Array | None = None
+    pos: jax.Array | None = None   # [n_pad, 4] f32 node coords (xyz, 0)
 
     def _any(self) -> jax.Array:
         for f in (self.adj, self.gcn, self.bias_self, self.bias_noself):
@@ -88,6 +101,7 @@ def build_band(
     components: tuple[str, ...] = ALL_COMPONENTS,
     max_window_tiles: int = 5,
     edge_feat: np.ndarray | None = None,
+    node_pos: np.ndarray | None = None,
 ) -> Band | None:
     """Build banded adjacency; returns None if the graph isn't band-limited.
 
@@ -154,8 +168,21 @@ def build_band(
     if "bias_noself" in components:
         bias_noself = (adj > 0).astype(np.int8)
 
+    geo = None
+    pos = None
+    if (
+        edge_feat is not None
+        and node_pos is not None
+        and "geo" in components
+        and edge_feat.shape[1] == 4
+    ):
+        geo, pos = _try_build_geo(
+            edge_feat, node_pos, senders, receivers, n_pad,
+            n_tiles, window, tile, t, k, row, col,
+        )
+
     edge = None
-    if edge_feat is not None and "edge" in components:
+    if edge_feat is not None and "edge" in components and geo is None:
         d_e = edge_feat.shape[1]
         edge = np.zeros((n_tiles, window, d_e, tile, tile), dtype=np.float32)
         edge[t, k, :, row, col] = np.asarray(edge_feat, dtype=np.float32)
@@ -181,4 +208,45 @@ def build_band(
         # edge features keep float32: bf16 rounding (~0.4%) would break
         # backend parity of the edge-conditioned conv (same reason as gcn)
         edge=edge,
+        geo=geo,
+        pos=pos,
     )
+
+
+def _try_build_geo(
+    edge_feat, node_pos, senders, receivers, n_pad,
+    n_tiles, window, tile, t, k, row, col,
+):
+    """Factorized geometric edge planes, or (None, None) if the features
+    aren't the geometric ``[unit dir(3), dist]`` of the node positions.
+
+    Validates ``edge_feat ≈ [(pos_r − pos_s)/dist, dist]`` (the
+    ``compute_edge_features`` convention — always true for graphs this
+    framework builds; random-feature test fixtures fail the check and fall
+    back to the generic "edge" planes).  Self-loops (zero features) store
+    dist = 1/dist = 0, which reproduces their zero edge contribution.
+    """
+    ef = np.asarray(edge_feat, dtype=np.float32)
+    pos = np.asarray(node_pos, dtype=np.float32)
+    if pos.shape[0] < n_pad:
+        pos = np.concatenate(
+            [pos, np.zeros((n_pad - pos.shape[0], pos.shape[1]), np.float32)]
+        )
+    pos = pos[:n_pad]
+    d = pos[receivers] - pos[senders]
+    dist = np.linalg.norm(d, axis=1)
+    nz = dist > 0
+    recon = np.zeros_like(ef)
+    recon[nz, :3] = d[nz] / dist[nz, None]
+    recon[:, 3] = np.where(nz, dist, 0.0)
+    scale_ref = max(float(np.abs(ef).max()), 1e-12)
+    if not np.allclose(recon, ef, atol=1e-4 * scale_ref + 1e-6):
+        return None, None
+
+    geo = np.zeros((n_tiles, window, 2, tile, tile), dtype=np.float32)
+    inv = np.where(nz, 1.0 / np.maximum(dist, 1e-30), 0.0).astype(np.float32)
+    geo[t, k, 0, row, col] = np.where(nz, dist, 0.0).astype(np.float32)
+    geo[t, k, 1, row, col] = inv
+    pos4 = np.zeros((n_pad, 4), dtype=np.float32)
+    pos4[:, :3] = pos[:, :3]
+    return geo, pos4

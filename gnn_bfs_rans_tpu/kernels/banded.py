@@ -393,7 +393,7 @@ def banded_gat_fwd(
 
 # ------------------------------------------------- Transformer attention
 def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
-                        dropout_rate=0.0, mean_heads=False):
+                        dropout_rate=0.0, mean_heads=False, geo=False):
     """Scaled-dot-product neighbor attention; optional edge conditioning.
 
     Grouped like ``_gat_kernel``: G receiver tiles per grid step share the
@@ -408,6 +408,20 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
     * value edge term  ``Σ_j p_ij e_ij = (Σ_j p_ij feat_ij) @ W_e`` — the
       kernel emits ``s[i, h, d] = Σ_j p_ij feat_d[i,j]`` as a second output
       and XLA applies the tiny [D_e, C] matmul outside.
+
+    With ``geo`` the D_e=4 features are known to be geometric
+    ``[unit dir(3), dist]`` and factor one step further through the node
+    positions: ``feat_d[i,j] = (pos_i[d] − pos_j[d])·invdist_ij`` for d<3.
+    The kernel then streams only TWO banded planes (dist, 1/dist — half the
+    generic path's HBM) plus [T, 4] position tiles, and reconstructs the
+    direction terms with one [T,4]@[4,W·T] matmul per head:
+
+        Σ_d qw_d·feat_d = (qself − qw@pos_winᵀ)⊙invd + qw_dist⊙dist,
+        qself = Σ_d qw_d·pos_i[d]
+
+    (the 4th position column is 0, so the full [T,4] qw row — whose last
+    column is qw_dist — drops out of the matmul automatically).  The s
+    output factors symmetrically: s_d = pos_i[d]·Σ_j p·invd − (p⊙invd)@pos.
     """
     i = 0
     if dropout_rate > 0:
@@ -417,7 +431,12 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
     q_ref = refs[i]; i += 1                      # [G·T, HC]
     ks = refs[i:i + span]; i += span
     vs = refs[i:i + span]; i += span
-    if edge_dim:
+    if geo:
+        feat_ref = refs[i]; i += 1   # [G, W, 2, T, T] (dist, 1/dist)
+        qw_ref = refs[i]; i += 1     # [G·T, H*4]
+        poss = refs[i:i + span]; i += span       # span × [T, 4]
+        o_ref, s_ref = refs[i], refs[i + 1]
+    elif edge_dim:
         feat_ref = refs[i]; i += 1   # [G, W, D_e, T, T]
         qw_ref = refs[i]; i += 1     # [G·T, H*D_e]
         o_ref, s_ref = refs[i], refs[i + 1]
@@ -427,12 +446,22 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
         inv_keep = 1.0 / (1.0 - dropout_rate)
     tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
+    k0 = window // 2
     prec = _prec(ks[0].dtype)
     for g in range(group):
         # int8 0/1 mask → additive 0/−1e30 bias blocks, once for all heads
         mask = mask_ref[g]
         bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30
                 for k in range(window)]
+        if geo:
+            dist_cat = jnp.concatenate(
+                [feat_ref[g, k, 0] for k in range(window)], axis=1)  # [T, WT]
+            invd_cat = jnp.concatenate(
+                [feat_ref[g, k, 1] for k in range(window)], axis=1)
+            pos_cat = jnp.concatenate(
+                [poss[g + k][:].astype(jnp.float32) for k in range(window)],
+                axis=0)                                              # [WT, 4]
+            pos_c = poss[g + k0][:].astype(jnp.float32)              # [T, 4]
         outs = []
         souts = []
         rows = slice(g * tile, (g + 1) * tile)
@@ -445,12 +474,21 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
                 kk = ks[g + k][:, h * c:(h + 1) * c]
                 l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32,
                             precision=prec) * scale
-                if edge_dim:
+                if edge_dim and not geo:
                     for d in range(edge_dim):
                         qw_d = qw_ref[rows, h * edge_dim + d][:, None]  # [T, 1]
                         l += (qw_d * scale) * feat_ref[g, k, d]
                 logits.append(l + bias[k])
             full = jnp.concatenate(logits, axis=1)
+            if geo:
+                qd = qw_ref[rows, h * 4:(h + 1) * 4].astype(
+                    jnp.float32) * scale                         # [T, 4]
+                qself = jnp.sum(qd * pos_c, axis=1, keepdims=True)
+                qpos = jnp.dot(qd, pos_cat.T,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)                   # [T, WT]
+                full = full + (qself - qpos) * invd_cat \
+                    + qd[:, 3:4] * dist_cat
             m = jnp.max(full, axis=1, keepdims=True)
             # guard all-masked rows (padding): shift by a finite max
             m = jnp.maximum(m, -1e30)
@@ -469,7 +507,16 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
                                preferred_element_type=jnp.float32,
                                precision=prec)
             outs.append(acc * inv)
-            if edge_dim:
+            if geo:
+                ew = e * invd_cat
+                t13 = jnp.dot(ew, pos_cat,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)                    # [T, 4]
+                t0 = jnp.sum(ew, axis=1, keepdims=True)
+                s3 = jnp.sum(e * dist_cat, axis=1, keepdims=True)
+                souts.append(jnp.concatenate(
+                    [(pos_c * t0 - t13)[:, :3], s3], axis=1) * inv)
+            elif edge_dim:
                 ss = []
                 for d in range(edge_dim):
                     sd = jnp.zeros((tile, 1), jnp.float32)
@@ -502,24 +549,32 @@ def banded_transformer_fwd(
     dropout_rate: float = 0.0,
     seed: jax.Array | None = None,
     mean_heads: bool = False,
+    geo_band: jax.Array | None = None,    # [n_tiles, W, 2, T, T] (dist, 1/d)
+    pos: jax.Array | None = None,         # [N, 4] node coords (xyz, 0)
 ):
     """Fused scaled-dot-product neighbor attention over the band.
 
     Returns [N, H*C] ([N, C] head mean when ``mean_heads``); with edge
     conditioning returns a second array ``s`` [N, H*D_e] of
-    attention-weighted edge features (see kernel doc).
+    attention-weighted edge features (see kernel doc).  ``geo_band``+``pos``
+    select the factorized geometric path (identical math for
+    ``[unit dir, dist]`` features at half the plane traffic).
     """
     n_tiles, window, tile, _ = bias_noself.shape
     hc = q.shape[1]
     c = hc // heads
     out_feat = c if mean_heads else hc
-    edge_dim = edge_band.shape[2] if edge_band is not None else 0
+    geo = geo_band is not None
+    edge_dim = 4 if geo else (
+        edge_band.shape[2] if edge_band is not None else 0)
+    n_planes = 2 if geo else edge_dim
     group = _choose_group(
         n_tiles, window, tile,
-        feat_bytes=2 * hc * q.dtype.itemsize,  # windowed k and v streams
+        feat_bytes=(2 * hc * q.dtype.itemsize       # windowed k and v streams
+                    + (4 * 4 if geo else 0)),       # windowed [T, 4] pos
         extra_in_bytes_per_tile=(
             hc * q.dtype.itemsize               # direct q tile
-            + window * edge_dim * tile * 4      # f32 edge-feature planes
+            + window * n_planes * tile * 4      # f32 edge/geo planes
         ),
         extra_out_bytes_per_tile=heads * edge_dim * 4,
         scratch_bytes_per_tile=(
@@ -529,7 +584,16 @@ def banded_transformer_fwd(
     span = group + window - 1
     extra = []
     extra_specs = []
-    if edge_dim:
+    if geo:
+        extra = [geo_band, qw, *([pos] * span)]
+        extra_specs = [
+            pl.BlockSpec((group, window, 2, tile, tile),
+                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * tile, heads * 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(window, tile, 4, n_tiles, group),
+        ]
+    elif edge_dim:
         extra = [edge_band, qw]
         extra_specs = [
             pl.BlockSpec((group, window, edge_dim, tile, tile),
@@ -540,7 +604,7 @@ def banded_transformer_fwd(
     kernel = functools.partial(
         _transformer_kernel, window=window, heads=heads,
         scale=1.0 / (c ** 0.5), edge_dim=edge_dim, group=group,
-        dropout_rate=dropout_rate, mean_heads=mean_heads,
+        dropout_rate=dropout_rate, mean_heads=mean_heads, geo=geo,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     out_shape = jax.ShapeDtypeStruct((q.shape[0], out_feat), q.dtype)
@@ -553,7 +617,12 @@ def banded_transformer_fwd(
         out_spec = (out_spec,
                     pl.BlockSpec((group * tile, heads * edge_dim),
                                  lambda i: (i, 0), memory_space=pltpu.VMEM))
-    edge_bytes = edge_band.size * edge_band.dtype.itemsize if edge_dim else 0
+    if geo:
+        edge_bytes = geo_band.size * geo_band.dtype.itemsize
+    elif edge_dim:
+        edge_bytes = edge_band.size * edge_band.dtype.itemsize
+    else:
+        edge_bytes = 0
     return pl.pallas_call(
         kernel,
         grid=(n_tiles // group,),
@@ -799,3 +868,83 @@ def _trem_vjp_bwd(heads, dropout_rate, res, g):
 
 
 banded_transformer_edge_mean.defvjp(_trem_vjp_fwd, _trem_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def banded_transformer_geo(bias_noself, geo_band, pos, q, k, v, qw, heads,
+                           dropout_rate=0.0, seed=None):
+    """Geometric-factorized edge-conditioned transformer → (out, s).
+
+    Same math and API contract as :func:`banded_transformer_edge` for
+    ``[unit dir(3), dist]`` edge features (the only kind this framework's
+    graphs carry), but streams 2 banded planes instead of 4 — the direction
+    planes factor through ``pos`` (see ``_transformer_kernel`` doc).
+    ``qw`` stays [N, H·4]; ``s`` stays [N, H·4] with identical semantics,
+    so the outside W_e projection is unchanged.
+    """
+    return banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                  qw=qw, geo_band=geo_band, pos=pos,
+                                  dropout_rate=dropout_rate, seed=seed)
+
+
+def _trg_vjp_fwd(bias_noself, geo_band, pos, q, k, v, qw, heads,
+                 dropout_rate, seed):
+    out = banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                 qw=qw, geo_band=geo_band, pos=pos,
+                                 dropout_rate=dropout_rate, seed=seed)
+    return out, (bias_noself, geo_band, pos, q, k, v, qw, seed)
+
+
+def _trg_vjp_bwd(heads, dropout_rate, res, g):
+    from .banded_bwd import banded_transformer_bwd
+
+    bias_noself, geo_band, pos, q, k, v, qw, seed = res
+    g_out, g_s = g
+    dq, dk, dv, dqw = banded_transformer_bwd(
+        bias_noself, q, k, v, g_out, heads,
+        qw=qw, gs=g_s, geo_band=geo_band, pos=pos,
+        dropout_rate=dropout_rate, seed=seed,
+    )
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return (_zero_cot(bias_noself), jnp.zeros_like(geo_band),
+            jnp.zeros_like(pos), dq, dk, dv, dqw, dseed)
+
+
+banded_transformer_geo.defvjp(_trg_vjp_fwd, _trg_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def banded_transformer_geo_mean(bias_noself, geo_band, pos, q, k, v, qw,
+                                heads, dropout_rate=0.0, seed=None):
+    """``banded_transformer_geo`` with the head mean fused → (out [N,C], s)."""
+    return banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                  qw=qw, geo_band=geo_band, pos=pos,
+                                  dropout_rate=dropout_rate, seed=seed,
+                                  mean_heads=True)
+
+
+def _trgm_vjp_fwd(bias_noself, geo_band, pos, q, k, v, qw, heads,
+                  dropout_rate, seed):
+    out = banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                 qw=qw, geo_band=geo_band, pos=pos,
+                                 dropout_rate=dropout_rate, seed=seed,
+                                 mean_heads=True)
+    return out, (bias_noself, geo_band, pos, q, k, v, qw, seed)
+
+
+def _trgm_vjp_bwd(heads, dropout_rate, res, g):
+    from .banded_bwd import banded_transformer_bwd
+
+    bias_noself, geo_band, pos, q, k, v, qw, seed = res
+    g_out, g_s = g
+    dq, dk, dv, dqw = banded_transformer_bwd(
+        bias_noself, q, k, v, g_out.astype(q.dtype), heads,
+        qw=qw, gs=g_s, geo_band=geo_band, pos=pos,
+        dropout_rate=dropout_rate, seed=seed, mean_expand=True,
+    )
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return (_zero_cot(bias_noself), jnp.zeros_like(geo_band),
+            jnp.zeros_like(pos), dq, dk, dv, dqw, dseed)
+
+
+banded_transformer_geo_mean.defvjp(_trgm_vjp_fwd, _trgm_vjp_bwd)

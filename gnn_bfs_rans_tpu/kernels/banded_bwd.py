@@ -240,7 +240,7 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
 
 # ---------------------------------------------------- Transformer backward
 def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
-                   dropout_rate=0.0, mean_expand=False):
+                   dropout_rate=0.0, mean_expand=False, geo=False):
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
@@ -249,7 +249,12 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
     q_ref = refs[i]; i += 1                      # [G·T, HC]
     ks = refs[i:i + span]; i += span
     vs = refs[i:i + span]; i += span
-    if edge_dim:
+    poss = None
+    if geo:
+        feat_ref = refs[i]; i += 1   # [G, W, 2, T, T] (dist, 1/dist)
+        qw_ref = refs[i]; i += 1     # [G·T, H*4]
+        poss = refs[i:i + span]; i += span       # span × [T, 4]
+    elif edge_dim:
         feat_ref = refs[i]; i += 1   # [G, W, D_e, T, T]
         qw_ref = refs[i]; i += 1     # [G·T, H*D_e]
     g_ref = refs[i]; i += 1
@@ -261,6 +266,7 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
 
     tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
+    k0 = window // 2
     from .banded import _prec
 
     prec = _prec(ks[0].dtype)
@@ -274,6 +280,16 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
         mask = mask_ref[g]
         bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30
                 for k in range(window)]
+        if geo:
+            # factorized geometric planes (see banded._transformer_kernel)
+            dist_cat = jnp.concatenate(
+                [feat_ref[g, k, 0] for k in range(window)], axis=1)  # [T, WT]
+            invd_cat = jnp.concatenate(
+                [feat_ref[g, k, 1] for k in range(window)], axis=1)
+            pos_cat = jnp.concatenate(
+                [poss[g + k][:].astype(jnp.float32) for k in range(window)],
+                axis=0)                                              # [WT, 4]
+            pos_c = poss[g + k0][:].astype(jnp.float32)              # [T, 4]
         if dropout_rate > 0:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
         dq_cols, dqw_cols = [], []
@@ -291,7 +307,7 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 kk = ks[g + k][:, h * c:(h + 1) * c]
                 l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32,
                             precision=prec) * scale
-                if edge_dim:
+                if edge_dim and not geo:
                     for d in range(edge_dim):
                         qw_d = qw_ref[rows, h * edge_dim + d][:, None]
                         l += (qw_d * scale) * feat_ref[g, k, d]
@@ -300,12 +316,21 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 dp = jnp.dot(g_h, vk.T.astype(jnp.float32),
                              preferred_element_type=jnp.float32,
                              precision=prec)
-                if has_gs:
+                if has_gs and not geo:
                     for d in range(edge_dim):
                         gs_d = gs_ref[rows, h * edge_dim + d][:, None]
                         dp += gs_d.astype(jnp.float32) * feat_ref[g, k, d]
                 dps.append(dp)
             full = jnp.concatenate(logits, axis=1)
+            if geo:
+                qd = qw_ref[rows, h * 4:(h + 1) * 4].astype(
+                    jnp.float32) * scale                         # [T, 4]
+                qself = jnp.sum(qd * pos_c, axis=1, keepdims=True)
+                qpos = jnp.dot(qd, pos_cat.T,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+                full = full + (qself - qpos) * invd_cat \
+                    + qd[:, 3:4] * dist_cat
             m = jnp.maximum(jnp.max(full, axis=1, keepdims=True), -1e30)
             e = jnp.exp(full - m)
             e = jnp.where(full <= -1e29, 0.0, e)
@@ -314,6 +339,15 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
             inv = 1.0 / denom                                # [T, 1]
             g_s = g_h * inv   # row-scaled cotangent for the dv matmuls
             dp = jnp.concatenate(dps, axis=1)
+            if has_gs and geo:
+                # Σ_d gs_d·feat_d factorized like the forward logit term
+                gs4 = gs_ref[rows, h * 4:(h + 1) * 4].astype(jnp.float32)
+                gs_self = jnp.sum(gs4 * pos_c, axis=1, keepdims=True)
+                gsp = jnp.dot(gs4, pos_cat.T,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+                dp = dp + (gs_self - gsp) * invd_cat \
+                    + gs4[:, 3:4] * dist_cat
             if dropout_rate > 0:
                 bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape),
                                      jnp.uint32)
@@ -339,7 +373,17 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 dv_blocks[k].append(jnp.dot(e_k.T, g_s,
                                             preferred_element_type=jnp.float32,
                                             precision=prec))
-            if edge_dim:
+            if geo:
+                # dqw_d = Σ_jk dl·feat_d — same factorization as the s output
+                u = dl * invd_cat
+                t13u = jnp.dot(u, pos_cat,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)                   # [T, 4]
+                t0u = jnp.sum(u, axis=1, keepdims=True)
+                dqw3 = jnp.sum(dl * dist_cat, axis=1, keepdims=True)
+                dqw_cols.append(jnp.concatenate(
+                    [(pos_c * t0u - t13u)[:, :3], dqw3], axis=1))  # [T, 4]
+            elif edge_dim:
                 for d in range(edge_dim):
                     acc = jnp.zeros((tile, 1), jnp.float32)
                     for k in range(window):
@@ -366,12 +410,15 @@ def banded_transformer_bwd(
     edge_band=None, qw=None, gs=None,
     dropout_rate=0.0, seed=None,
     mean_expand=False,
+    geo_band=None, pos=None,
 ):
     """Fused backward of the (optionally edge-conditioned) transformer forward.
 
     ``g`` is the cotangent of the attention output; ``gs`` (when edge
     conditioning is on) the cotangent of the weighted-edge-feature output
-    ``s``.  Returns (dq, dk, dv) or (dq, dk, dv, dqw).
+    ``s``.  ``geo_band``+``pos`` select the factorized geometric path
+    (see ``banded._transformer_kernel``).  Returns (dq, dk, dv) or
+    (dq, dk, dv, dqw).
     """
     from .banded import _choose_group, _clamped_window_specs, _seed_inputs
 
@@ -379,13 +426,17 @@ def banded_transformer_bwd(
     hc = q.shape[1]
     c = hc // heads
     n = q.shape[0]
-    edge_dim = edge_band.shape[2] if edge_band is not None else 0
+    geo = geo_band is not None
+    edge_dim = 4 if geo else (
+        edge_band.shape[2] if edge_band is not None else 0)
+    n_planes = 2 if geo else edge_dim
     group = _choose_group(
         n_tiles, window, tile,
-        feat_bytes=2 * hc * q.dtype.itemsize + 2 * hc * 4,
+        feat_bytes=(2 * hc * q.dtype.itemsize + 2 * hc * 4
+                    + (4 * 4 if geo else 0)),   # windowed [T, 4] pos
         extra_in_bytes_per_tile=(
             2 * hc * q.dtype.itemsize           # direct q and g tiles
-            + window * edge_dim * tile * 4      # f32 edge-feature planes
+            + window * n_planes * tile * 4      # f32 edge/geo planes
             + 2 * heads * edge_dim * 4          # qw + gs tiles
         ),
         # per-window partials (dk + dv, primal dtype) dominate the output side
@@ -397,7 +448,16 @@ def banded_transformer_bwd(
     )
     span = group + window - 1
     extra, extra_specs = [], []
-    if edge_dim:
+    if geo:
+        extra = [geo_band, qw, *([pos] * span)]
+        extra_specs = [
+            pl.BlockSpec((group, window, 2, tile, tile),
+                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * tile, heads * 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(window, tile, 4, n_tiles, group),
+        ]
+    elif edge_dim:
         extra = [edge_band, qw]
         extra_specs = [
             pl.BlockSpec((group, window, edge_dim, tile, tile),
@@ -414,7 +474,7 @@ def banded_transformer_bwd(
     kernel = functools.partial(
         _tr_bwd_kernel, window=window, heads=heads, scale=1.0 / (c ** 0.5),
         edge_dim=edge_dim, has_gs=has_gs, group=group,
-        dropout_rate=dropout_rate, mean_expand=mean_expand,
+        dropout_rate=dropout_rate, mean_expand=mean_expand, geo=geo,
     )
     g_feat = c if mean_expand else hc
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)

@@ -324,8 +324,10 @@ class TransformerConv(nn.Module):
             and graph.band.bias_noself is not None
             # in-kernel attention dropout needs the Mosaic PRNG (TPU only)
             and (not drop_active or jax.default_backend() == "tpu")
-            # edge conditioning needs the banded edge-feature tensor
-            and (self.edge_dim is None or graph.band.edge is not None)
+            # edge conditioning needs the banded edge tensor (generic) or
+            # the factorized geometric planes
+            and (self.edge_dim is None or graph.band.edge is not None
+                 or graph.band.geo is not None)
         )
         if lin_edge is not None and not band_ok:
             edge_kv = lin_edge(graph.edge_feat).reshape(-1, H, C)
@@ -340,6 +342,8 @@ class TransformerConv(nn.Module):
             from ..kernels.banded import (
                 banded_transformer_edge,
                 banded_transformer_edge_mean,
+                banded_transformer_geo,
+                banded_transformer_geo_mean,
             )
 
             d_e = self.edge_dim
@@ -347,19 +351,37 @@ class TransformerConv(nn.Module):
             # so parameter naming stays identical across backends
             w_e = lin_edge(jnp.eye(d_e, dtype=x.dtype)).reshape(d_e, H, C)
             qw = jnp.einsum("nhc,dhc->nhd", q, w_e).reshape(-1, H * d_e)
-            kernel_fn = (banded_transformer_edge if self.concat
-                         else banded_transformer_edge_mean)
-            out, s = kernel_fn(
-                graph.band.bias_noself,
-                graph.band.edge,
-                q.reshape(-1, H * C),
-                k.reshape(-1, H * C),
-                v.reshape(-1, H * C),
-                qw,
-                H,
-                rate,
-                seed,
-            )
+            if graph.band.geo is not None:
+                # factorized geometric path: 2 banded planes + positions
+                # instead of 4 planes (see kernels.banded)
+                kernel_fn = (banded_transformer_geo if self.concat
+                             else banded_transformer_geo_mean)
+                out, s = kernel_fn(
+                    graph.band.bias_noself,
+                    graph.band.geo,
+                    graph.band.pos,
+                    q.reshape(-1, H * C),
+                    k.reshape(-1, H * C),
+                    v.reshape(-1, H * C),
+                    qw,
+                    H,
+                    rate,
+                    seed,
+                )
+            else:
+                kernel_fn = (banded_transformer_edge if self.concat
+                             else banded_transformer_edge_mean)
+                out, s = kernel_fn(
+                    graph.band.bias_noself,
+                    graph.band.edge,
+                    q.reshape(-1, H * C),
+                    k.reshape(-1, H * C),
+                    v.reshape(-1, H * C),
+                    qw,
+                    H,
+                    rate,
+                    seed,
+                )
             if self.concat:
                 out = out.reshape(-1, H, C) + jnp.einsum(
                     "nhd,dhc->nhc", s.reshape(-1, H, d_e), w_e.astype(s.dtype)

@@ -70,7 +70,7 @@ class PartitionedFlowGNN(nn.Module):
             cfg.use_edge_attr
             and backend == "pallas"
             and graph.band is not None
-            and graph.band.edge is not None
+            and (graph.band.edge is not None or graph.band.geo is not None)
             and (cfg.dropout == 0 or not train
                  or jax.default_backend() == "tpu")
         )

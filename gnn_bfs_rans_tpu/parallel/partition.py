@@ -65,6 +65,8 @@ class PartitionedGraph:
     band_bias_self: jax.Array | None = None    # int8
     band_bias_noself: jax.Array | None = None  # int8
     band_edge: jax.Array | None = None         # [n_dev, T_ext, W, D_e, T, T]
+    band_geo: jax.Array | None = None          # [n_dev, T_ext, W, 2, T, T]
+    band_pos: jax.Array | None = None          # [n_dev, N_ext, 4]
     band_tile: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
@@ -189,7 +191,7 @@ def _slice_band(
 
     out: dict[str, np.ndarray] = {}
     diag = np.arange(tile)
-    for name in ("adj", "gcn", "bias_self", "bias_noself", "edge"):
+    for name in ("adj", "gcn", "bias_self", "bias_noself", "edge", "geo"):
         arr = getattr(band, name)
         if arr is None:
             continue
@@ -205,6 +207,17 @@ def _slice_band(
                 ):
                     local[d, j, k0, diag, diag] = 1
         out[f"band_{name}"] = local
+    if band.pos is not None:
+        # node positions are row-indexed — slice like node_feat
+        pos = np.asarray(band.pos)
+        n_ext = (lt + 2 * ht) * tile
+        local_pos = np.zeros((n_dev, n_ext, pos.shape[1]), dtype=pos.dtype)
+        n_pad = n_tiles * tile
+        for d in range(n_dev):
+            s = d * n_loc - halo
+            src_lo, src_hi = max(s, 0), min(s + n_ext, n_pad)
+            local_pos[d, src_lo - s:src_hi - s] = pos[src_lo:src_hi]
+        out["band_pos"] = local_pos
     return out, tile
 
 
@@ -245,6 +258,8 @@ def _local_graph(pg: PartitionedGraph) -> Graph:
                          else pg.band_bias_noself[0]),
             tile=pg.band_tile,
             edge=None if pg.band_edge is None else pg.band_edge[0],
+            geo=None if pg.band_geo is None else pg.band_geo[0],
+            pos=None if pg.band_pos is None else pg.band_pos[0],
         )
     dummy_e = jnp.zeros(8, jnp.int32)
     return Graph(

@@ -62,7 +62,8 @@ def build_grid_graph(
             tile=tile,
             components=comps,
             edge_feat=(np.asarray(graph.edge_feat)[: graph.n_edges]
-                       if "edge" in comps else None),
+                       if ("edge" in comps or "geo" in comps) else None),
+            node_pos=np.asarray(graph.node_feat),
         )
         if band is not None:
             graph = dataclasses.replace(graph, band=band)

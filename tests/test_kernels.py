@@ -304,6 +304,131 @@ class TestBandedTransformer:
                                        rtol=1e-4, atol=1e-4)
 
 
+def _geo_bands(nx=32, ny=16, tile=32):
+    """A geometric grid graph with BOTH the generic edge band and the
+    factorized geo band built on identical structure."""
+    from gnn_bfs_rans_tpu.graph.band import build_band
+    from gnn_bfs_rans_tpu.utils.synthetic import build_grid_graph
+
+    g = build_grid_graph(nx, ny, with_band=False, tile=tile)
+    s = np.asarray(g.senders)[: g.n_edges]
+    r = np.asarray(g.receivers)[: g.n_edges]
+    ef = np.asarray(g.edge_feat)[: g.n_edges]
+    args = (s, r, g.n_pad, np.asarray(g.node_mask), np.asarray(g.in_degree))
+    b_edge = build_band(*args, tile=tile, components=("bias_noself", "edge"),
+                        edge_feat=ef)
+    b_geo = build_band(*args, tile=tile, components=("bias_noself", "geo"),
+                       edge_feat=ef, node_pos=np.asarray(g.node_feat))
+    return g, b_edge, b_geo
+
+
+class TestGeoFactorizedTransformer:
+    """The geometric factorization (2 banded planes + positions) must equal
+    the generic 4-plane edge-conditioned kernel exactly (same math)."""
+
+    def test_geo_band_built_for_geometric_features(self):
+        _, b_edge, b_geo = _geo_bands()
+        assert b_edge.edge is not None and b_edge.geo is None
+        assert b_geo.geo is not None and b_geo.pos is not None
+        assert b_geo.edge is None  # geo supersedes the generic planes
+        assert b_geo.geo.shape[2] == 2
+
+    def test_geo_refused_for_random_features(self):
+        """Random (non-geometric) features must fall back to 'edge'."""
+        g = _band_graph()
+        from gnn_bfs_rans_tpu.graph.band import build_band
+
+        s = np.asarray(g.senders)[: g.n_edges]
+        r = np.asarray(g.receivers)[: g.n_edges]
+        ef = np.asarray(g.edge_feat)[: g.n_edges]
+        band = build_band(
+            s, r, g.n_pad, np.asarray(g.node_mask),
+            np.asarray(g.in_degree), tile=32,
+            components=("bias_noself", "geo", "edge"), edge_feat=ef,
+            node_pos=np.asarray(g.node_feat),
+        )
+        assert band.geo is None and band.edge is not None
+
+    def test_geo_matches_generic_forward(self):
+        from gnn_bfs_rans_tpu.kernels.banded import (
+            banded_transformer_edge,
+            banded_transformer_geo,
+        )
+
+        g, b_edge, b_geo = _geo_bands()
+        rng = np.random.default_rng(10)
+        H, C = 4, 8
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+            for _ in range(3)
+        )
+        qw = jnp.asarray(rng.normal(size=(g.n_pad, H * 4)).astype(np.float32))
+        out_e, s_e = banded_transformer_edge(
+            b_edge.bias_noself, b_edge.edge, q, k, v, qw, H)
+        out_g, s_g = banded_transformer_geo(
+            b_geo.bias_noself, b_geo.geo, jnp.asarray(b_geo.pos),
+            q, k, v, qw, H)
+        np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_e),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_e),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_geo_matches_generic_gradients(self):
+        from gnn_bfs_rans_tpu.kernels.banded import (
+            banded_transformer_edge,
+            banded_transformer_geo,
+        )
+
+        g, b_edge, b_geo = _geo_bands(nx=32, ny=8)
+        rng = np.random.default_rng(11)
+        H, C = 2, 4
+        args = [
+            jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+            for _ in range(3)
+        ] + [jnp.asarray(rng.normal(size=(g.n_pad, H * 4)).astype(np.float32))]
+
+        def loss(fn, *band):
+            def inner(q_, k_, v_, w_):
+                out, s = fn(*band, q_, k_, v_, w_, H)
+                return jnp.sum(out ** 2) + jnp.sum(jnp.sin(s))
+            return inner
+
+        ge = jax.grad(
+            loss(banded_transformer_edge, b_edge.bias_noself, b_edge.edge),
+            argnums=(0, 1, 2, 3))(*args)
+        gg = jax.grad(
+            loss(banded_transformer_geo, b_geo.bias_noself, b_geo.geo,
+                 jnp.asarray(b_geo.pos)),
+            argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(ge, gg):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_geo_mean_matches_generic_mean(self):
+        from gnn_bfs_rans_tpu.kernels.banded import (
+            banded_transformer_edge_mean,
+            banded_transformer_geo_mean,
+        )
+
+        g, b_edge, b_geo = _geo_bands()
+        rng = np.random.default_rng(12)
+        H, C = 4, 8
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(g.n_pad, H * C)).astype(np.float32))
+            for _ in range(3)
+        )
+        qw = jnp.asarray(rng.normal(size=(g.n_pad, H * 4)).astype(np.float32))
+        out_e, s_e = banded_transformer_edge_mean(
+            b_edge.bias_noself, b_edge.edge, q, k, v, qw, H)
+        out_g, s_g = banded_transformer_geo_mean(
+            b_geo.bias_noself, b_geo.geo, jnp.asarray(b_geo.pos),
+            q, k, v, qw, H)
+        np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_e),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_e),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestMeanHeadVariants:
     """Kernels with the concat=False head-mean epilogue fused in-kernel."""
 

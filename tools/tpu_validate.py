@@ -11,17 +11,25 @@ The pytest suite runs the Pallas kernels in interpret mode on CPU
 tests), so the Mosaic lowering itself — and the TPU-only in-kernel dropout
 PRNG — is exercised here instead:
 
-  * GAT + Transformer forward vs the jnp references
-  * GAT + Transformer backward (fused Pallas kernels) vs jax.grad of refs
+  * GAT + Transformer (plain / edge-conditioned / geo-factorized) forward
+    vs the jnp references
+  * the fused Pallas backward kernels vs jax.grad of the references
   * dropout determinism: same seed → same output, replayed in backward
   * fwd/bwd dropout-mask consistency via a linearity identity
 
-Run: python tools/tpu_validate.py   (needs the TPU attached)
+Every check is recorded and written as a JSON artifact (default
+``artifacts/tpu_validate.json``; pass ``--out artifacts/tpu_validate_rN.json``
+per round) so kernel-accuracy claims are reproducible evidence, not commit
+messages.
+
+Run: python tools/tpu_validate.py [--out PATH]   (needs the TPU attached)
 """
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,11 +43,32 @@ from gnn_bfs_rans_tpu.kernels.banded import (
     banded_gat,
     banded_gat_mean,
     banded_transformer,
+    banded_transformer_edge,
+    banded_transformer_geo,
+    banded_transformer_geo_mean,
 )
 from gnn_bfs_rans_tpu.kernels.reference import (
     banded_gat_ref,
+    banded_transformer_edge_ref,
     banded_transformer_ref,
 )
+
+RESULTS: list[dict] = []
+
+
+def record(kernel: str, check: str, err: float, tol: float) -> None:
+    ok = err < tol
+    RESULTS.append({"kernel": kernel, "check": check, "max_err": err,
+                    "tol": tol, "pass": ok})
+    mark = "ok " if ok else "FAIL"
+    print(f"{mark} {kernel:24s} {check:28s} {err:.2e} (tol {tol:.0e})")
+    assert ok, f"{kernel}/{check}: {err} >= {tol}"
+
+
+def record_bool(kernel: str, check: str, ok: bool) -> None:
+    RESULTS.append({"kernel": kernel, "check": check, "pass": bool(ok)})
+    print(f"{'ok ' if ok else 'FAIL'} {kernel:24s} {check}")
+    assert ok, f"{kernel}/{check}"
 
 
 def band_graph(n=512, tile=128, seed=0):
@@ -68,36 +97,26 @@ def band_graph(n=512, tile=128, seed=0):
         np.asarray(g.node_mask),
         np.asarray(g.in_degree),
         tile=tile,
+        edge_feat=edge_feat,
     )
     assert band is not None
     return g, band
 
 
-def main():
-    print("backend:", jax.default_backend())
-    assert jax.default_backend() == "tpu", "attach a TPU for Mosaic validation"
-    g, band = band_graph()
-    n = g.n_pad
-    H, C = 4, 64
-    rng = np.random.default_rng(1)
-    z = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
-    a_s = jnp.asarray(rng.normal(size=(n, H)), jnp.float32)
-    a_d = jnp.asarray(rng.normal(size=(n, H)), jnp.float32)
+def rel_err(a, b) -> float:
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))
 
-    assert band.bias_self.dtype == jnp.int8, band.bias_self.dtype
 
+def validate_gat(band, z, a_s, a_d, H, C):
     out_k = banded_gat(band.bias_self, z, a_s, a_d, H, 0.2)
     with jax.default_matmul_precision("highest"):
         out_r = banded_gat_ref(band.bias_self, z, a_s, a_d, H, 0.2)
-    err = float(jnp.max(jnp.abs(out_k - out_r)))
-    print(f"GAT fwd   max|kernel-ref| = {err:.2e}")
-    assert err < 1e-4
+    record("gat", "fwd_max_abs", float(jnp.max(jnp.abs(out_k - out_r))), 1e-4)
 
     out_m = banded_gat_mean(band.bias_self, z, a_s, a_d, H, 0.2)
-    err = float(jnp.max(jnp.abs(
-        out_m - out_r.reshape(-1, H, C).mean(axis=1))))
-    print(f"GAT mean  max|kernel-ref| = {err:.2e}")
-    assert err < 1e-4
+    record("gat_mean", "fwd_max_abs",
+           float(jnp.max(jnp.abs(out_m - out_r.reshape(-1, H, C).mean(1)))),
+           1e-4)
 
     def loss_k(z_, s_, d_):
         return jnp.sum(banded_gat(band.bias_self, z_, s_, d_, H, 0.2) ** 2)
@@ -109,19 +128,15 @@ def main():
     with jax.default_matmul_precision("highest"):
         gr = jax.grad(loss_r, argnums=(0, 1, 2))(z, a_s, a_d)
     for name, a, b in zip(("dz", "das", "dad"), gk, gr):
-        e = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))
-        print(f"GAT bwd   rel max err {name} = {e:.2e}")
-        assert e < 1e-4, name
+        record("gat", f"bwd_rel_{name}", rel_err(a, b), 1e-4)
 
-    q = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
+
+def validate_transformer(band, q, k, v, H):
     out_k = banded_transformer(band.bias_noself, q, k, v, H)
     with jax.default_matmul_precision("highest"):
         out_r = banded_transformer_ref(band.bias_noself, q, k, v, H)
-    err = float(jnp.max(jnp.abs(out_k - out_r)))
-    print(f"TR fwd    max|kernel-ref| = {err:.2e}")
-    assert err < 1e-3
+    record("transformer", "fwd_max_abs",
+           float(jnp.max(jnp.abs(out_k - out_r))), 1e-3)
 
     def loss_tk(q_, k_, v_):
         return jnp.sum(banded_transformer(band.bias_noself, q_, k_, v_, H) ** 2)
@@ -134,26 +149,102 @@ def main():
     with jax.default_matmul_precision("highest"):
         gr = jax.grad(loss_tr, argnums=(0, 1, 2))(q, k, v)
     for name, a, b in zip(("dq", "dk", "dv"), gk, gr):
-        e = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))
-        print(f"TR bwd    rel max err {name} = {e:.2e}")
-        assert e < 1e-3, name
+        record("transformer", f"bwd_rel_{name}", rel_err(a, b), 1e-3)
 
-    # dropout determinism + replay (Mosaic PRNG — TPU only)
+
+def validate_edge_and_geo(band, q, k, v, qw, H):
+    """Generic edge-conditioned kernel vs reference, then the factorized
+    geometric kernel vs the generic one on a geometric grid."""
+    out_k, s_k = banded_transformer_edge(
+        band.bias_noself, band.edge, q, k, v, qw, H)
+    with jax.default_matmul_precision("highest"):
+        out_r, s_r = banded_transformer_edge_ref(
+            band.bias_noself, band.edge, q, k, v, qw, H)
+    record("transformer_edge", "fwd_max_abs",
+           float(jnp.max(jnp.abs(out_k - out_r))), 1e-3)
+    record("transformer_edge", "fwd_s_max_abs",
+           float(jnp.max(jnp.abs(s_k - s_r))), 1e-3)
+
+    def loss(fn, *b):
+        def inner(q_, k_, v_, w_):
+            out, s = fn(*b, q_, k_, v_, w_, H)
+            return jnp.sum(out ** 2) + jnp.sum(jnp.sin(s))
+        return inner
+
+    gk = jax.grad(loss(banded_transformer_edge, band.bias_noself, band.edge),
+                  argnums=(0, 1, 2, 3))(q, k, v, qw)
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(
+            loss(banded_transformer_edge_ref, band.bias_noself, band.edge),
+            argnums=(0, 1, 2, 3))(q, k, v, qw)
+    for name, a, b in zip(("dq", "dk", "dv", "dqw"), gk, gr):
+        record("transformer_edge", f"bwd_rel_{name}", rel_err(a, b), 1e-3)
+
+
+def validate_geo(H=4, C=64):
+    from gnn_bfs_rans_tpu.utils.synthetic import build_grid_graph
+
+    g = build_grid_graph(96, 12, with_band=False, tile=128)
+    s = np.asarray(g.senders)[: g.n_edges]
+    r = np.asarray(g.receivers)[: g.n_edges]
+    ef = np.asarray(g.edge_feat)[: g.n_edges]
+    args = (s, r, g.n_pad, np.asarray(g.node_mask), np.asarray(g.in_degree))
+    b_edge = build_band(*args, tile=128, components=("bias_noself", "edge"),
+                        edge_feat=ef)
+    b_geo = build_band(*args, tile=128, components=("bias_noself", "geo"),
+                       edge_feat=ef, node_pos=np.asarray(g.node_feat))
+    assert b_geo.geo is not None
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(size=(g.n_pad, H * C)), jnp.float32)
+               for _ in range(3))
+    qw = jnp.asarray(rng.normal(size=(g.n_pad, H * 4)), jnp.float32)
+    pos = jnp.asarray(b_geo.pos)
+
+    out_e, s_e = banded_transformer_edge(
+        b_edge.bias_noself, b_edge.edge, q, k, v, qw, H)
+    out_g, s_g = banded_transformer_geo(
+        b_geo.bias_noself, b_geo.geo, pos, q, k, v, qw, H)
+    record("transformer_geo", "fwd_vs_generic",
+           float(jnp.max(jnp.abs(out_g - out_e))), 1e-3)
+    record("transformer_geo", "fwd_s_vs_generic",
+           float(jnp.max(jnp.abs(s_g - s_e))), 1e-3)
+
+    om_g, _ = banded_transformer_geo_mean(
+        b_geo.bias_noself, b_geo.geo, pos, q, k, v, qw, H)
+    record("transformer_geo_mean", "fwd_vs_generic",
+           float(jnp.max(jnp.abs(
+               om_g - out_e.reshape(-1, H, C).mean(1)))), 1e-3)
+
+    def loss(fn, *b):
+        def inner(q_, k_, v_, w_):
+            out, s = fn(*b, q_, k_, v_, w_, H)
+            return jnp.sum(out ** 2) + jnp.sum(jnp.sin(s))
+        return inner
+
+    ge = jax.grad(loss(banded_transformer_edge, b_edge.bias_noself,
+                       b_edge.edge), argnums=(0, 1, 2, 3))(q, k, v, qw)
+    gg = jax.grad(loss(banded_transformer_geo, b_geo.bias_noself, b_geo.geo,
+                       pos), argnums=(0, 1, 2, 3))(q, k, v, qw)
+    for name, a, b in zip(("dq", "dk", "dv", "dqw"), ge, gg):
+        record("transformer_geo", f"bwd_rel_{name}", rel_err(b, a), 1e-3)
+
+
+def validate_dropout(band, z, a_s, a_d, H):
     s1 = jnp.asarray([7], jnp.int32)
     s2 = jnp.asarray([8], jnp.int32)
     o1 = banded_gat(band.bias_self, z, a_s, a_d, H, 0.2, 0.3, s1)
     o2 = banded_gat(band.bias_self, z, a_s, a_d, H, 0.2, 0.3, s1)
     o3 = banded_gat(band.bias_self, z, a_s, a_d, H, 0.2, 0.3, s2)
-    assert bool(jnp.all(o1 == o2))
-    assert not bool(jnp.all(o1 == o3))
-    print("dropout determinism ok")
+    record_bool("gat_dropout", "same_seed_same_output",
+                bool(jnp.all(o1 == o2)))
+    record_bool("gat_dropout", "diff_seed_diff_output",
+                not bool(jnp.all(o1 == o3)))
 
     g1 = jax.grad(lambda z_: jnp.sum(
         banded_gat(band.bias_self, z_, a_s, a_d, H, 0.2, 0.3, s1) ** 2))(z)
     g2 = jax.grad(lambda z_: jnp.sum(
         banded_gat(band.bias_self, z_, a_s, a_d, H, 0.2, 0.3, s1) ** 2))(z)
-    assert bool(jnp.all(g1 == g2))
-    print("dropout grad determinism ok")
+    record_bool("gat_dropout", "grad_determinism", bool(jnp.all(g1 == g2)))
 
     # fwd/bwd mask CONSISTENCY: for f(z)=sum(out), out is linear in z given
     # the (seeded) attention weights, so grad^T z == f(z) exactly when the
@@ -161,11 +252,49 @@ def main():
     f = lambda z_: jnp.sum(
         banded_gat(band.bias_self, z_, a_s, a_d, H, 0.2, 0.3, s1))
     gz = jax.grad(f)(z)
-    lhs = float(jnp.vdot(gz, z))
-    rhs = float(f(z))
-    print(f"linearity check: grad·z = {lhs:.6f}  f(z) = {rhs:.6f}")
-    assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(rhs))
-    print("ALL OK")
+    lhs, rhs = float(jnp.vdot(gz, z)), float(f(z))
+    record("gat_dropout", "linearity_fwd_bwd_mask",
+           abs(lhs - rhs) / max(1.0, abs(rhs)), 1e-2)
+
+
+def main():
+    out_path = "artifacts/tpu_validate.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    print("backend:", jax.default_backend())
+    assert jax.default_backend() == "tpu", "attach a TPU for Mosaic validation"
+    g, band = band_graph()
+    n = g.n_pad
+    H, C = 4, 64
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
+    a_s = jnp.asarray(rng.normal(size=(n, H)), jnp.float32)
+    a_d = jnp.asarray(rng.normal(size=(n, H)), jnp.float32)
+    assert band.bias_self.dtype == jnp.int8, band.bias_self.dtype
+
+    validate_gat(band, z, a_s, a_d, H, C)
+
+    q = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, H * C)), jnp.float32)
+    validate_transformer(band, q, k, v, H)
+
+    qw = jnp.asarray(rng.normal(size=(n, H * 4)), jnp.float32)
+    validate_edge_and_geo(band, q, k, v, qw, H)
+    validate_geo()
+    validate_dropout(band, z, a_s, a_d, H)
+
+    artifact = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "device": str(jax.devices()[0]),
+        "platform": jax.default_backend(),
+        "all_pass": all(r["pass"] for r in RESULTS),
+        "checks": RESULTS,
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"ALL OK — artifact written to {out_path}")
 
 
 if __name__ == "__main__":
