@@ -31,6 +31,11 @@ class Predictor:
     batch_stats: dict
     normalizer: FieldNormalizer | None
     meta: dict
+    # directory for precompiled-executable caching (utils.aot); None = off.
+    # With a warm cache a fresh process skips the Mosaic compile entirely,
+    # making pallas-backend one-shot inference cold-start competitive with
+    # dense (ROADMAP "compile latency").
+    aot_dir: Path | None = None
 
     @classmethod
     def from_checkpoint(
@@ -38,6 +43,7 @@ class Predictor:
         checkpoint_dir: str | Path,
         name: str = "best",
         backend: str | None = "dense",
+        aot: bool | str = "auto",
     ) -> "Predictor":
         """Reconstruct the exact model from the embedded config
 
@@ -45,9 +51,18 @@ class Predictor:
         checkpoint's training backend for inference — the three backends are
         mathematically identical, and for a single forward pass the dense
         path's seconds-scale compile beats the Pallas kernels' minutes-scale
-        Mosaic compile.  Pass ``backend=None`` to keep the training backend
-        (e.g. for repeated/serving use where the compile amortizes).
+        Mosaic compile — unless a precompiled executable is cached (``aot``:
+        executables serialize into ``<checkpoint_dir>/aot/`` on first use
+        and later cold starts skip compilation).  ``aot='auto'`` enables the
+        cache on TPU only — where the Mosaic compile is the cold-start cost
+        and serialization is reliable; XLA:CPU AOT deserialization can
+        reference missing fusions on mismatched host machine features.
+        Pass ``backend=None`` to keep the training backend.
         """
+        import jax
+
+        if aot == "auto":
+            aot = jax.default_backend() == "tpu"
         meta = load_meta(checkpoint_dir, name)
         model_config = ModelConfig.from_dict(meta["model_config"])
         if backend is not None and model_config.backend != backend:
@@ -68,10 +83,28 @@ class Predictor:
             batch_stats=restored.get("batch_stats", {}),
             normalizer=normalizer,
             meta=meta,
+            aot_dir=(Path(checkpoint_dir) / "aot") if aot else None,
         )
 
     def __post_init__(self):
         self._forward = make_forward(self.model)
+        self._compiled = None
+
+    def _run_forward(self, graph: Graph):
+        if self.aot_dir is None:
+            return self._forward(self.params, self.batch_stats, graph)
+        # the compiled executable is specialized to one graph shape — rebuild
+        # (from the disk cache when possible) if the shape changes
+        sig = (graph.n_pad, graph.e_pad, graph.max_degree,
+               graph.band is not None, graph.perm is not None)
+        if self._compiled is None or self._compiled[0] != sig:
+            from .utils.aot import load_or_compile
+
+            self._compiled = (sig, load_or_compile(
+                self._forward, (self.params, self.batch_stats, graph),
+                self.aot_dir, label="predictor-forward",
+            ))
+        return self._compiled[1](self.params, self.batch_stats, graph)
 
     def predict_packed(self, graph: Graph) -> np.ndarray:
         """Normalized model output in ORIGINAL cell order, [n_nodes, 7].
@@ -80,7 +113,7 @@ class Predictor:
         un-permuted back to the mesh's cell numbering so downstream I/O and
         comparisons line up (SURVEY.md §7 writeback-ordering requirement).
         """
-        out = np.asarray(self._forward(self.params, self.batch_stats, graph))
+        out = np.asarray(self._run_forward(graph))
         out = out[: graph.n_nodes]
         if graph.perm is not None:
             perm = np.asarray(graph.perm)[: graph.n_nodes]

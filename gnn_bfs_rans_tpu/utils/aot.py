@@ -1,0 +1,88 @@
+"""Precompiled-executable cache — cold-start without the Mosaic compile.
+
+The Pallas kernels cost a minutes-scale Mosaic+XLA compile on first use over
+the tunneled TPU, which is why one-shot inference historically defaulted to
+the dense backend (``infer.py``).  ``jax.export`` does not help: it ships
+StableHLO that still recompiles on load.  What removes compilation from the
+cold path is :mod:`jax.experimental.serialize_executable` — a pickle of the
+COMPILED executable, reloadable on the same device kind / jax version with
+zero compile work.
+
+``load_or_compile`` wraps a jitted function: it hashes the lowered
+computation (plus device kind and jax version) into a cache filename,
+deserializes a hit, or compiles and serializes a miss.  Any failure
+(version/device mismatch, corrupt file, backend without serialization
+support) falls back to a normal compile — the cache is a pure optimization.
+
+(VERDICT r1 item 10 / ROADMAP "compile latency".)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+import warnings
+from pathlib import Path
+
+import jax
+
+
+def _cache_file(lowered, cache_dir: Path) -> Path:
+    dev = jax.devices()[0]
+    key = hashlib.md5(
+        "\x00".join(
+            (
+                jax.__version__,
+                dev.device_kind,
+                dev.platform,
+                lowered.as_text(),
+            )
+        ).encode()
+    ).hexdigest()[:20]
+    return Path(cache_dir) / f"aot_{key}.pkl"
+
+
+def load_or_compile(jitted_fn, args, cache_dir: str | Path, label: str = ""):
+    """Return a compiled executable for ``jitted_fn(*args)``, via disk cache.
+
+    The returned object is callable with the same (structurally identical)
+    arguments as ``jitted_fn``.  Tracing/lowering still runs (seconds); only
+    the backend compile — the minutes-scale part for Mosaic kernels — is
+    skipped on a cache hit.
+    """
+    cache_dir = Path(cache_dir)
+    lowered = jitted_fn.lower(*args)
+    file = _cache_file(lowered, cache_dir)
+    if file.exists():
+        try:
+            from jax.experimental import serialize_executable
+
+            payload = pickle.loads(file.read_bytes())
+            # the cache targets SINGLE-DEVICE executables (the inference
+            # forward); deserialize_and_load defaults to all local devices,
+            # which breaks under multi-device envs (8 virtual CPU devices in
+            # tests) — pin to the default device explicitly
+            return serialize_executable.deserialize_and_load(
+                payload["serialized"], payload["in_tree"], payload["out_tree"],
+                execution_devices=jax.devices()[:1],
+            )
+        except Exception as e:  # corrupt / mismatched — recompile
+            warnings.warn(f"AOT cache load failed ({label or file.name}): {e}")
+    compiled = lowered.compile()
+    try:
+        from jax.experimental import serialize_executable
+
+        serialized, in_tree, out_tree = serialize_executable.serialize(compiled)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        file.write_bytes(
+            pickle.dumps(
+                {
+                    "serialized": serialized,
+                    "in_tree": in_tree,
+                    "out_tree": out_tree,
+                }
+            )
+        )
+    except Exception as e:  # serialization unsupported on this backend
+        warnings.warn(f"AOT cache save failed ({label or file.name}): {e}")
+    return compiled
