@@ -54,6 +54,12 @@ class ModelConfig:
     use_edge_attr: bool = True   # feeds edge features to Transformer conv
     backend: str = "dense"       # segment | dense | pallas
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
+    # Rematerialize each conv under jax.checkpoint: activations inside the
+    # conv (projections z/q/k/v, [N, H·C] per layer) are recomputed in the
+    # backward instead of stored — trades ~1 extra forward's FLOPs for
+    # O(num_layers·N·H·C) of HBM, the lever that fits 1M-cell training on
+    # one chip (BENCHMARKS.md scale table).
+    remat: bool = False
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
@@ -77,15 +83,23 @@ class FlowGNN(nn.Module):
         x = _lecun_linear(cfg.hidden_dim, name="input_proj", dtype=dtype)(x)
 
         conv_cls = CONV_REGISTRY[cfg.layer_type]
+        if cfg.remat:
+            # static_argnums counts the __call__ args with self at 0:
+            # (self, x, graph[, deterministic]) — the attention convs take a
+            # static deterministic flag, GCN/GIN don't
+            has_det = cfg.layer_type in ("GAT", "Transformer")
+            conv_cls = nn.remat(
+                conv_cls, static_argnums=(3,) if has_det else ()
+            )
         for i in range(cfg.num_layers):
             kwargs: dict[str, Any] = dict(
                 features=cfg.hidden_dim, backend=cfg.backend, name=f"conv_{i}",
                 dtype=dtype,
             )
-            call_kwargs: dict[str, Any] = {}
+            call_args: tuple = ()
             if cfg.layer_type == "GAT":
                 kwargs.update(heads=cfg.heads, concat=False, dropout=cfg.dropout)
-                call_kwargs["deterministic"] = not train
+                call_args = (not train,)
             elif cfg.layer_type == "Transformer":
                 kwargs.update(
                     heads=cfg.heads,
@@ -93,9 +107,9 @@ class FlowGNN(nn.Module):
                     dropout=cfg.dropout,
                     edge_dim=(graph.edge_feat.shape[1] if cfg.use_edge_attr else None),
                 )
-                call_kwargs["deterministic"] = not train
+                call_args = (not train,)
             layer = conv_cls(**kwargs)
-            x_new = layer(x, graph, **call_kwargs)
+            x_new = layer(x, graph, *call_args)
 
             x = x + x_new  # residual (gnn_model.py:184)
             if cfg.use_batch_norm and cfg.norm_type == "batch":

@@ -160,12 +160,23 @@ def run_scale_benchmark(
     compute_dtype: str = "float32",
     steps: int = 20,
     nx: int = 96,
+    mode: str = "forward",
+    remat: bool = False,
 ) -> dict:
-    """Forward benchmark on a synthetic grid of ~n_nodes cells."""
+    """Forward or full-train-step benchmark on a synthetic ~n_nodes grid.
+
+    ``mode='train'`` runs the jitted train step (fwd + loss + bwd + Adam) on
+    one random snapshot; ``remat`` rematerializes the convs under
+    jax.checkpoint — the memory lever that fits million-cell training on a
+    single chip (per-layer [N, H·C] activations recomputed, not stored).
+    """
+    import time as _time
+
     import jax
+    import jax.numpy as jnp
 
     from ..models.flow_gnn import FlowGNN, ModelConfig
-    from ..train.loop import TrainConfig, init_state
+    from ..train.loop import TrainConfig, init_state, make_train_step
     from .bench import chained_marginal_time
 
     from ..graph.band import LAYER_COMPONENTS
@@ -178,23 +189,57 @@ def run_scale_benchmark(
     mcfg = ModelConfig(
         hidden_dim=hidden_dim, num_layers=num_layers, layer_type=layer_type,
         backend=backend, dropout=0.0, compute_dtype=compute_dtype,
+        remat=remat,
     )
+    tcfg = TrainConfig()
     model = FlowGNN(mcfg)
-    state = init_state(model, graph, TrainConfig(), jax.random.PRNGKey(0))
+    state = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
 
-    def apply_fn(g):
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            g, train=False,
-        )
+    if mode == "forward":
+        def apply_fn(g):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                g, train=False,
+            )
 
-    step_s = chained_marginal_time(apply_fn, graph, reps=max(steps, 8))
+        step_s = chained_marginal_time(apply_fn, graph, reps=max(steps, 8))
+    else:
+        raw_step = make_train_step(model, tcfg, jit=False)
+        targets = jax.device_put(
+            jnp.zeros((1, graph.n_pad, 7), jnp.float32))
+        lr = jnp.asarray(3e-4, jnp.float32)
+        rng = jax.random.key(1, impl="rbg")
+
+        @jax.jit
+        def chain(s0, g, k):
+            def body(i, s):
+                s2, _ = raw_step(s, g, targets, lr, jax.random.fold_in(rng, i))
+                return s2
+            return jax.lax.fori_loop(0, k, body, s0)
+
+        def best(k, trials=3):
+            kk = jnp.asarray(k, jnp.int32)
+            out = chain(state, graph, kk)
+            np.asarray(jax.device_get(out.params["out_3"]["bias"]))
+            b = float("inf")
+            for _ in range(trials):
+                t0 = _time.perf_counter()
+                out = chain(state, graph, kk)
+                np.asarray(jax.device_get(out.params["out_3"]["bias"]))
+                b = min(b, _time.perf_counter() - t0)
+            return b
+
+        base, reps = 2, max(steps, 8)
+        step_s = max((best(reps) - best(base)) / (reps - base), 1e-9)
+
     stats = {"median_s": step_s}
     msgs = num_layers * graph.n_edges
     return {
         "metric": "edge_messages_per_sec_per_chip",
         "value": msgs / stats["median_s"],
         "unit": "msgs/s",
+        "mode": mode,
+        "remat": remat,
         "n_nodes": graph.n_nodes,
         "n_edges": graph.n_edges,
         "layer_type": layer_type,

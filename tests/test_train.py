@@ -66,6 +66,35 @@ class TestTrainStep:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.7, losses[::10]
 
+    @pytest.mark.parametrize("layer_type", ["GCN", "GAT"])
+    def test_remat_matches_plain_gradients(self, small_dataset, layer_type):
+        """cfg.remat recomputes conv activations in the backward — the
+        gradients must be bit-identical math to the plain path."""
+        from gnn_bfs_rans_tpu.train.normalization import weighted_fieldwise_mse
+
+        graph = small_dataset.graph
+        targets = jnp.asarray(small_dataset.targets[:1])
+        grads = {}
+        for remat in (False, True):
+            cfg = ModelConfig(hidden_dim=16, num_layers=2,
+                              layer_type=layer_type, dropout=0.0, remat=remat)
+            model = FlowGNN(cfg)
+            variables = model.init(jax.random.PRNGKey(0), graph, train=False)
+
+            def loss_fn(params):
+                out, _ = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    graph, train=True, mutable=["batch_stats"],
+                )
+                return weighted_fieldwise_mse(out, targets[0], graph.node_mask)
+
+            grads[remat] = jax.grad(loss_fn)(variables["params"])
+        for a, b in zip(jax.tree.leaves(grads[False]),
+                        jax.tree.leaves(grads[True])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
     def test_eval_errors_match_concatenated(self, small_dataset):
         """Per-snapshot-mean errors == reference's concatenate-then-mean
         (train.py:241-264): exactly equal on a shared mesh (PARITY.md #7)."""
