@@ -64,6 +64,7 @@ def cmd_train(args) -> int:
         seed=args.seed,
         plateau_min_lr=args.min_lr,
         scheduler=args.scheduler,
+        epoch_block=args.epoch_block,
     )
     trainer = Trainer(dataset, mcfg, tcfg, output_dir=out_dir)
     trainer.initialize(resume=args.resume)
@@ -386,6 +387,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Floor for the LR schedule")
     p.add_argument("--scheduler", type=str, default="plateau",
                    choices=["plateau", "cosine"])
+    p.add_argument("--epoch_block", type=int, default=1,
+                   help="Epochs per device-resident lax.scan block (1 = "
+                        "host-driven per-epoch loop; >1 amortizes the "
+                        "host→TPU dispatch RTT over whole epochs)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", type=str, default="dense",
                    choices=["segment", "dense", "pallas"])

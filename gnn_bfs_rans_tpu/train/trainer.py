@@ -36,8 +36,10 @@ from .loop import (
     ReduceLROnPlateau,
     TrainConfig,
     TrainState,
+    init_epoch_block_carry,
     init_state,
     iterate_batches,
+    make_epoch_block,
     make_eval_step,
     make_train_step,
 )
@@ -146,6 +148,14 @@ class Trainer:
             self.initialize()
         cfg = self.config
         n = self.dataset.n_snapshots
+        if cfg.epoch_block > 1:
+            if n % min(cfg.batch_size, n) == 0:
+                return self._train_loop_blocked()
+            self.log(
+                f"epoch_block={cfg.epoch_block} needs n_snapshots ({n}) "
+                f"divisible by batch_size ({cfg.batch_size}); falling back "
+                "to the per-epoch loop"
+            )
         lr = self.scheduler.lr
 
         for epoch in range(self.start_epoch, cfg.epochs + 1):
@@ -239,6 +249,130 @@ class Trainer:
             if epoch % cfg.save_every == 0:
                 self._save(f"epoch_{epoch}", epoch, val_loss, extra)
 
+        self.save_history()
+        return self.history
+
+    def _train_loop_blocked(self) -> dict:
+        """Device-resident epoch loop: ``lax.scan`` blocks of up to
+        ``cfg.epoch_block`` epochs per dispatch (loop.make_epoch_block).
+
+        Exactness vs the per-epoch loop: blocks are cut at ``save_every``
+        multiples and at the curriculum phase boundary, so periodic
+        checkpoints and the freeze/LR-halving switch land on the same epochs;
+        the plateau scheduler runs on-device (float32 state).  Two documented
+        deviations: snapshot shuffling uses the device PRNG stream instead of
+        the host numpy one, and a 'best' checkpoint carries the best epoch's
+        params/batch_stats with the block-end optimizer state (resume
+        normally uses the latest epoch_N checkpoint, which is exact).
+        """
+        cfg = self.config
+        n = self.dataset.n_snapshots
+        block_fn = make_epoch_block(self.model, cfg, n)
+        self.rng, loop_rng = jax.random.split(self.rng)
+        carry = init_epoch_block_carry(self.state, self.scheduler.lr, loop_rng)
+        # resume support: seed the on-device scheduler with host state
+        carry = carry.replace(sched=carry.sched.replace(
+            best=jnp.asarray(self.scheduler.best, jnp.float32),
+        ), best_val=jnp.asarray(self.best_val, jnp.float32))
+
+        epoch = self.start_epoch
+        while epoch <= cfg.epochs:
+            if cfg.curriculum_epochs > 0 and epoch == cfg.curriculum_epochs + 1:
+                new_lr = float(carry.sched.lr) * 0.5
+                carry = carry.replace(
+                    sched=carry.sched.replace(
+                        lr=jnp.asarray(new_lr, jnp.float32))
+                )
+                self.log(
+                    f"Curriculum phase 2: unfreezing pressure, lr → {new_lr:.3e}"
+                )
+            freeze = cfg.curriculum_epochs > 0 and epoch <= cfg.curriculum_epochs
+            # block end: epoch_block cap, save_every multiple, curriculum
+            # boundary, final epoch — whichever comes first
+            stop = min(
+                epoch + cfg.epoch_block - 1,
+                ((epoch - 1) // cfg.save_every + 1) * cfg.save_every,
+                cfg.epochs,
+            )
+            if freeze:
+                stop = min(stop, cfg.curriculum_epochs)
+            k = stop - epoch + 1
+
+            t0 = time.perf_counter()
+            carry, outs = block_fn(
+                carry, self.graph, self.targets,
+                jnp.asarray(epoch - 1, jnp.int32),
+                n_epochs=k, freeze=freeze,
+            )
+            train_losses = np.asarray(outs["train_loss"], np.float64)
+            val_losses = np.asarray(outs["val_loss"], np.float64)
+            lrs = np.asarray(outs["lr"], np.float64)
+            errs = {f: np.asarray(v, np.float64)
+                    for f, v in outs["errors"].items()}
+            dt = time.perf_counter() - t0
+
+            if not np.isfinite(train_losses).all():
+                bad = epoch + int(np.argmax(~np.isfinite(train_losses)))
+                self.save_history()
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {bad} "
+                    f"(block {epoch}..{stop}); enable "
+                    "utils.profiling.enable_nan_checks() to locate the op"
+                )
+
+            with open(self.output_dir / "metrics.jsonl", "a") as fh:
+                for j in range(k):
+                    e = epoch + j
+                    detailed = e % 10 == 0
+                    self.history["epoch"].append(e)
+                    self.history["train_loss"].append(float(train_losses[j]))
+                    self.history["val_loss"].append(float(val_losses[j]))
+                    self.history["learning_rate"].append(float(lrs[j]))
+                    for f in FIELDS:
+                        self.history["field_errors"][f].append(
+                            float(errs[f][j]) if detailed else None
+                        )
+                    fh.write(json.dumps({
+                        "epoch": e,
+                        "train_loss": float(train_losses[j]),
+                        "val_loss": float(val_losses[j]),
+                        "lr": float(lrs[j]),
+                        "epoch_seconds": dt / k,
+                        **({f"err_{f}": float(errs[f][j]) for f in FIELDS}
+                           if detailed else {}),
+                    }) + "\n")
+
+            self.log(
+                f"Epochs {epoch}-{stop}: train={train_losses[-1]:.6f} "
+                f"val={val_losses[-1]:.6f} lr={lrs[-1]:.3e} "
+                f"({dt:.2f}s, {dt/k*1e3:.0f} ms/epoch)"
+            )
+
+            # checkpointing at block end (stop aligns with save_every)
+            self.state = carry.state
+            self.scheduler.lr = float(carry.sched.lr)
+            self.scheduler.best = float(carry.sched.best)
+            block_best = float(carry.best_val)
+            extra = {
+                "best_val": min(self.best_val, block_best),
+                "lr": self.scheduler.lr,
+                "sched_best": self.scheduler.best,
+            }
+            if block_best < self.best_val:
+                self.best_val = block_best
+                best_state = self.state.replace(
+                    params=carry.best_params, batch_stats=carry.best_stats
+                )
+                saved, self.state = self.state, best_state
+                try:
+                    self._save("best", int(carry.best_epoch), block_best, extra)
+                finally:
+                    self.state = saved
+            if stop % cfg.save_every == 0 or stop == cfg.epochs:
+                self._save(f"epoch_{stop}", stop, float(val_losses[-1]), extra)
+            epoch = stop + 1
+
+        self.rng = carry.rng
         self.save_history()
         return self.history
 

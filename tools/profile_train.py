@@ -63,7 +63,12 @@ def main():
     graph = dataset.graph.to_device()
     targets = jnp.asarray(dataset.targets)
     tcfg = TrainConfig()
-    rng0 = jax.random.PRNGKey(1)
+    # match the trainer's PRNG impl (rbg on TPU): a threefry key here makes
+    # every dropout-mask bernoulli pay the long u32 ALU chains the trainer
+    # does NOT pay — with threefry this profile over-attributes ~1.8 ms/step
+    # to "dropout" (measured 2026-08-19; rbg: ~0.3 ms, all in-kernel PRNG)
+    impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    rng0 = jax.random.key(1, impl=impl)
     lr = jnp.asarray(3e-4, jnp.float32)
 
     def build(dropout=0.1, norm="batch"):
