@@ -137,6 +137,34 @@ def _predict_filtered(args):
     return fields, ref, cc
 
 
+def cmd_export_torch(args) -> int:
+    from ..compat.torch_port import save_torch_checkpoint
+    from ..models.flow_gnn import ModelConfig
+    from ..train.checkpoint import load_checkpoint
+    from ..train.normalization import FieldNormalizer
+
+    restored, meta = load_checkpoint(args.checkpoint, args.checkpoint_name)
+    mcfg = ModelConfig.from_dict(meta["model_config"])
+    normalizer = (
+        FieldNormalizer.from_dict(meta["normalizer"])
+        if meta.get("normalizer") else None
+    )
+    save_torch_checkpoint(
+        args.output,
+        restored["params"],
+        restored["batch_stats"],
+        mcfg,
+        normalizer=normalizer,
+        epoch=int(meta.get("epoch", 0)),
+        val_loss=float(meta.get("val_loss", float("nan"))),
+        train_config=meta.get("train_config"),
+    )
+    print(f"Exported {args.checkpoint}/{args.checkpoint_name} -> {args.output} "
+          f"({mcfg.layer_type} {mcfg.hidden_dim}x{mcfg.num_layers}, "
+          "reference torch format)")
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from ..viz.fields import compare_fields
 
@@ -414,6 +442,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_format", type=str, default="numpy",
                    choices=["numpy", "openfoam", "both"])
     p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser(
+        "export-torch",
+        help="Export a checkpoint to the reference's torch .pt format",
+    )
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Checkpoint directory")
+    p.add_argument("--checkpoint_name", type=str, default="best")
+    p.add_argument("--output", type=str, default="best_model.pt")
+    p.set_defaults(func=cmd_export_torch)
 
     p = sub.add_parser("visualize", help="Field-comparison plots")
     p.add_argument("--checkpoint", type=str, required=True)

@@ -143,6 +143,128 @@ def convert_state_dict(
     return params, batch_stats
 
 
+def export_state_dict(
+    params: dict[str, Any], batch_stats: dict[str, Any], config: ModelConfig
+) -> dict[str, np.ndarray]:
+    """Flax params → reference-format torch state dict (inverse of
+    :func:`convert_state_dict`).
+
+    Names follow the reference model exactly (``gnn_model.py``:
+    ``input_proj.*``, ``gnn_layers.{i}.*`` per conv type,
+    ``batch_norms.{i}.module.*``, ``output_proj.{0,3,6,8}.*``) so the
+    exported dict loads into the reference's ``FlowGNN`` with
+    ``load_state_dict`` — migration works in both directions.
+    """
+    sd: dict[str, np.ndarray] = {
+        "input_proj.weight": _t(params["input_proj"]["kernel"]),
+        "input_proj.bias": _a(params["input_proj"]["bias"]),
+    }
+
+    for i in range(config.num_layers):
+        conv = params[f"conv_{i}"]
+        p = f"gnn_layers.{i}."
+        if config.layer_type == "GCN":
+            sd[p + "lin.weight"] = _t(conv["lin"]["kernel"])
+            sd[p + "bias"] = _a(conv["bias"])
+        elif config.layer_type == "GAT":
+            sd[p + "lin.weight"] = _t(conv["lin"]["kernel"])
+            sd[p + "att_src"] = _a(conv["att_src"])
+            sd[p + "att_dst"] = _a(conv["att_dst"])
+            sd[p + "bias"] = _a(conv["bias"])
+        elif config.layer_type == "GIN":
+            sd[p + "nn.0.weight"] = _t(conv["mlp_0"]["kernel"])
+            sd[p + "nn.0.bias"] = _a(conv["mlp_0"]["bias"])
+            sd[p + "nn.2.weight"] = _t(conv["mlp_1"]["kernel"])
+            sd[p + "nn.2.bias"] = _a(conv["mlp_1"]["bias"])
+            if "eps" in conv:
+                sd[p + "eps"] = _a(conv["eps"]).reshape(())
+        elif config.layer_type == "Transformer":
+            for lin in ("lin_query", "lin_key", "lin_value", "lin_skip"):
+                sd[p + f"{lin}.weight"] = _t(conv[lin]["kernel"])
+                sd[p + f"{lin}.bias"] = _a(conv[lin]["bias"])
+            if "lin_edge" in conv:
+                sd[p + "lin_edge.weight"] = _t(conv["lin_edge"]["kernel"])
+        else:
+            raise ValueError(f"unknown layer type {config.layer_type}")
+
+        if f"bn_{i}" in params:
+            bp = f"batch_norms.{i}.module."
+            sd[bp + "weight"] = _a(params[f"bn_{i}"]["scale"])
+            sd[bp + "bias"] = _a(params[f"bn_{i}"]["bias"])
+            bs = batch_stats.get(f"bn_{i}", {})
+            sd[bp + "running_mean"] = _a(
+                bs.get("mean", np.zeros(config.hidden_dim))
+            )
+            sd[bp + "running_var"] = _a(
+                bs.get("var", np.ones(config.hidden_dim))
+            )
+            # torch BatchNorm1d tracks a batch counter we don't keep; 0 is
+            # inert (only used for momentum=None cumulative averaging)
+            sd[bp + "num_batches_tracked"] = np.zeros((), np.int64)
+
+    for out_name, idx in (("out_0", 0), ("out_1", 3), ("out_2", 6), ("out_3", 8)):
+        sd[f"output_proj.{idx}.weight"] = _t(params[out_name]["kernel"])
+        sd[f"output_proj.{idx}.bias"] = _a(params[out_name]["bias"])
+    return sd
+
+
+def save_torch_checkpoint(
+    path: str,
+    params: dict[str, Any],
+    batch_stats: dict[str, Any],
+    config: ModelConfig,
+    normalizer: FieldNormalizer | None = None,
+    epoch: int = 0,
+    val_loss: float = float("nan"),
+    train_config: Any = None,
+) -> None:
+    """Write a reference-format ``.pt`` checkpoint (``train.py:453-461``:
+    dict with epoch / model_state_dict / optimizer_state_dict / val_loss /
+    config / normalizer) loadable by the reference's ``load_model``
+    (``inference.py:20-59``) — and by :func:`load_torch_checkpoint`.
+
+    ``optimizer_state_dict`` is exported empty: optax Adam moments have no
+    faithful positional mapping onto torch's parameter-id keyed state, and
+    no reference loader reads it (it exists for torch-side resume only).
+    """
+    import torch
+
+    sd = export_state_dict(params, batch_stats, config)
+    cfg = {
+        "hidden_dim": config.hidden_dim,
+        "num_layers": config.num_layers,
+        "layer_type": config.layer_type,
+        "dropout": config.dropout,
+    }
+    if train_config is not None:
+        t = train_config.to_dict() if hasattr(train_config, "to_dict") else dict(train_config)
+        for k in ("lr", "weight_decay", "batch_size", "epochs",
+                  "pressure_ref_weight", "curriculum_epochs", "save_every"):
+            if k in t:
+                cfg[k] = t[k]
+    norm_data = None
+    if normalizer is not None:
+        norm_data = {
+            "field_stats": normalizer.field_stats,
+            "scalers": normalizer.scalers,
+        }
+    torch.save(
+        {
+            "epoch": int(epoch),
+            # np.array(..., copy=True): torch.from_numpy on a non-writable
+            # view (jax arrays export read-only buffers) warns loudly
+            "model_state_dict": {
+                k: torch.from_numpy(np.array(v)) for k, v in sd.items()
+            },
+            "optimizer_state_dict": {},
+            "val_loss": float(val_loss),
+            "config": cfg,
+            "normalizer": norm_data,
+        },
+        path,
+    )
+
+
 def load_torch_checkpoint(path: str) -> tuple[dict, dict, ModelConfig, FieldNormalizer | None]:
     """Load a reference ``.pt`` checkpoint → (params, batch_stats, config, normalizer).
 

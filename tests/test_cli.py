@@ -82,3 +82,49 @@ def test_train_infer_visualize_pipeline(tmp_path, capsys):
     assert rc == 0
     assert (viz / "line_Y_0.005.png").exists()
     assert (viz / "line_X_0.150.png").exists()
+
+
+def test_export_torch(tmp_path, capsys):
+    """export-torch writes a reference-format .pt from an Orbax checkpoint."""
+    import jax
+    import torch
+
+    from gnn_bfs_rans_tpu.compat import load_torch_checkpoint
+    from gnn_bfs_rans_tpu.models.flow_gnn import FlowGNN, ModelConfig
+    from gnn_bfs_rans_tpu.train import (
+        FieldNormalizer,
+        TrainConfig,
+        load_dataset,
+        save_checkpoint,
+    )
+    from gnn_bfs_rans_tpu.train.loop import init_state
+
+    ds = load_dataset(CASE, ["282"])
+    mcfg = ModelConfig(hidden_dim=16, num_layers=1, layer_type="GCN",
+                       dropout=0.0)
+    tcfg = TrainConfig()
+    model = FlowGNN(mcfg)
+    state = init_state(model, ds.graph, tcfg, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, "best", state, epoch=3, val_loss=0.9,
+                    model_config=mcfg, train_config=tcfg,
+                    normalizer=ds.normalizer)
+
+    out = tmp_path / "exported.pt"
+    rc = main(["export-torch", "--checkpoint", str(ckpt),
+               "--output", str(out)])
+    assert rc == 0
+    assert "reference torch format" in capsys.readouterr().out
+
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 3
+    assert raw["config"]["layer_type"] == "GCN"
+    params, batch_stats, cfg, norm = load_torch_checkpoint(str(out))
+    out1 = model.apply({"params": state.params,
+                        "batch_stats": state.batch_stats}, ds.graph,
+                       train=False)
+    out2 = model.apply({"params": params, "batch_stats": batch_stats},
+                       ds.graph, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-6)
+    assert norm is not None and "U" in norm.scalers

@@ -224,3 +224,96 @@ def test_full_checkpoint_round_trip(tmp_path, tiny_graph):
         {"params": params, "batch_stats": batch_stats}, g, train=False
     )
     assert np.isfinite(np.asarray(pred)).all()
+
+
+class TestExport:
+    """export_state_dict / save_torch_checkpoint — the inverse mapping."""
+
+    @pytest.mark.parametrize("layer_type", ["GCN", "GAT", "GIN", "Transformer"])
+    def test_export_import_round_trip(self, tiny_graph, layer_type):
+        """flax params → reference state dict → flax params is the identity."""
+        import jax
+
+        from gnn_bfs_rans_tpu.compat.torch_port import export_state_dict
+
+        g, _ = tiny_graph
+        cfg = ModelConfig(hidden_dim=16, num_layers=2, layer_type=layer_type,
+                          dropout=0.0, use_edge_attr=True)
+        model = FlowGNN(cfg)
+        variables = model.init(jax.random.PRNGKey(3), g, train=False)
+        params = jax.tree.map(np.asarray, variables["params"])
+        batch_stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+
+        sd = export_state_dict(params, batch_stats, cfg)
+        params2, batch_stats2 = convert_state_dict(sd, cfg)
+
+        flat1 = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        flat2 = dict(jax.tree_util.tree_flatten_with_path(params2)[0])
+        assert flat1.keys() == flat2.keys()
+        for k in flat1:
+            np.testing.assert_allclose(flat1[k], flat2[k], rtol=1e-6, err_msg=str(k))
+        for k, v in jax.tree_util.tree_flatten_with_path(batch_stats)[0]:
+            np.testing.assert_allclose(
+                v, dict(jax.tree_util.tree_flatten_with_path(batch_stats2)[0])[k],
+                rtol=1e-6,
+            )
+
+    def test_exported_names_match_reference_schema(self, tiny_graph):
+        """Exported keys are exactly the reference's state-dict names (the
+        contract that makes the .pt loadable by the reference model)."""
+        import jax
+
+        from gnn_bfs_rans_tpu.compat.torch_port import export_state_dict
+
+        g, _ = tiny_graph
+        cfg = ModelConfig(hidden_dim=16, num_layers=2, layer_type="GAT",
+                          dropout=0.0)
+        model = FlowGNN(cfg)
+        variables = model.init(jax.random.PRNGKey(3), g, train=False)
+        sd = export_state_dict(variables["params"],
+                               variables.get("batch_stats", {}), cfg)
+        rng = np.random.default_rng(0)
+        ref_sd = _make_state_dict(rng, "GAT", 16, 2)
+        ref_keys = set(ref_sd) | {
+            f"batch_norms.{i}.module.num_batches_tracked" for i in range(2)
+        }
+        assert set(sd) == ref_keys
+
+    def test_save_load_pt_round_trip(self, tiny_graph, tmp_path):
+        """save_torch_checkpoint → load_torch_checkpoint → same forward."""
+        import jax
+
+        from gnn_bfs_rans_tpu.compat.torch_port import save_torch_checkpoint
+        from gnn_bfs_rans_tpu.train.normalization import FieldNormalizer
+
+        g, _ = tiny_graph
+        cfg = ModelConfig(hidden_dim=16, num_layers=2, layer_type="GCN",
+                          dropout=0.0)
+        model = FlowGNN(cfg)
+        variables = model.init(jax.random.PRNGKey(5), g, train=False)
+        norm = FieldNormalizer().fit({
+            "p": np.array([1.0, 3.0, 5.0]),
+            "U": np.array([[1.0, 0.0, 0.0], [0.0, 2.0, 0.0]]),
+        })
+        path = tmp_path / "exported.pt"
+        save_torch_checkpoint(
+            str(path), variables["params"], variables.get("batch_stats", {}),
+            cfg, normalizer=norm, epoch=7, val_loss=0.25,
+        )
+        params, batch_stats, cfg2, norm2 = load_torch_checkpoint(str(path))
+        assert cfg2.hidden_dim == 16 and cfg2.layer_type == "GCN"
+        np.testing.assert_allclose(
+            norm2.scalers["p"]["mean"], norm.scalers["p"]["mean"]
+        )
+        out1 = model.apply(variables, g, train=False)
+        out2 = model.apply(
+            {"params": params, "batch_stats": batch_stats}, g, train=False
+        )
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-5, atol=1e-6)
+        # reference loader contract: the dict has the reference's keys
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        assert set(raw) == {"epoch", "model_state_dict",
+                            "optimizer_state_dict", "val_loss", "config",
+                            "normalizer"}
+        assert raw["epoch"] == 7
