@@ -216,10 +216,55 @@ def _dropout_thresh(rate: float):
     return jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
 
 
-def _attn_dropout(p, rate: float, inv_keep: float):
-    """Drop attention entries in-kernel; ONE prng call — the backward kernels
-    regenerate the identical mask by replaying the same seed/call order."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+def _hash_bits(shape, seed_val, draw: int):
+    """Counter-based uint32 hash (xorshift-multiply finalizer) over the
+    element index — the interpret-mode stand-in for the Mosaic PRNG, so the
+    in-kernel dropout path (determinism, keep rate, backward mask replay) is
+    testable on CPU.  A *different* stream than the TPU PRNG by design; both
+    satisfy the same contract: bits are a pure function of (seed, draw
+    index, element index), replayed identically by the backward kernels.
+    """
+    flat = jnp.zeros(shape, jnp.uint32)
+    stride = 1
+    for d in reversed(range(len(shape))):
+        flat = flat + jax.lax.broadcasted_iota(
+            jnp.uint32, shape, d) * jnp.uint32(stride)
+        stride *= shape[d]
+    x = flat ^ (jnp.asarray(seed_val).astype(jnp.uint32)
+                * jnp.uint32(0x9E3779B9))
+    x = x + jnp.uint32(draw) * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _prng_seed(seed_val):
+    """Seed the Mosaic PRNG (no-op in interpret mode — the interpret stream
+    is derived per-draw from the seed value by :func:`_hash_bits`)."""
+    if not _use_interpret():
+        pltpu.prng_seed(seed_val)
+
+
+def _dropout_bits(shape, seed_val, draw: int = 0):
+    """uint32 random bits for an attention-dropout mask.
+
+    Compiled: one Mosaic PRNG draw (state advanced by preceding draws since
+    the :func:`_prng_seed` call — callers draw in a fixed order the backward
+    replays).  Interpret: stateless hash of (seed, draw, element index).
+    """
+    if _use_interpret():
+        return _hash_bits(shape, seed_val, draw)
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+def _attn_dropout(p, rate: float, inv_keep: float, seed_val, draw: int = 0):
+    """Drop attention entries in-kernel; one draw per call — the backward
+    kernels regenerate the identical mask by replaying the same
+    seed/draw-call order."""
+    bits = _dropout_bits(p.shape, seed_val, draw)
     return jnp.where(bits >= _dropout_thresh(rate), p * inv_keep, 0.0)
 
 
@@ -288,8 +333,9 @@ def _gat_kernel(*refs, window, heads, negative_slope, group,
         # is fixed before dropout, so the mask commutes with the scaling)
         inv = 1.0 / denom                                    # [H·T, 1]
         if dropout_rate > 0:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
-            e = _attn_dropout(e, dropout_rate, inv_keep)
+            sv = seed_ref[0] + pl.program_id(0) * group + g
+            _prng_seed(sv)
+            e = _attn_dropout(e, dropout_rate, inv_keep, sv)
         prec = _prec(zs[0].dtype)
         if mean_heads:
             # concat=False epilogue fused in: Σ_h out_h / H → [T, C].  Doing
@@ -321,11 +367,6 @@ def _seed_inputs(dropout_rate: float, seed):
     """(extra leading inputs, extra leading specs) for in-kernel dropout."""
     if dropout_rate <= 0:
         return [], []
-    if _use_interpret():
-        raise NotImplementedError(
-            "in-kernel attention dropout needs the Mosaic TPU PRNG; "
-            "use the dense/segment backend on CPU"
-        )
     if seed is None:
         raise ValueError("dropout_rate > 0 requires a seed array")
     return [seed], [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -466,7 +507,8 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
         souts = []
         rows = slice(g * tile, (g + 1) * tile)
         if dropout_rate > 0:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
+            sv = seed_ref[0] + pl.program_id(0) * group + g
+            _prng_seed(sv)
         for h in range(heads):
             q = q_ref[rows, h * c:(h + 1) * c]
             logits = []
@@ -498,7 +540,7 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
             # normalization deferred into the matmul epilogue (see _gat_kernel)
             inv = 1.0 / denom                                # [T, 1]
             if dropout_rate > 0:
-                e = _attn_dropout(e, dropout_rate, inv_keep)
+                e = _attn_dropout(e, dropout_rate, inv_keep, sv, draw=h)
             acc = jnp.dot(e[:, :tile], vs[g][:, h * c:(h + 1) * c],
                           preferred_element_type=jnp.float32, precision=prec)
             for k in range(1, window):

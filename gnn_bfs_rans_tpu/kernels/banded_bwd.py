@@ -74,7 +74,7 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
 
     tile = zs[0].shape[0]
     c = zs[0].shape[1] // heads
-    from .banded import _dropout_thresh, _prec
+    from .banded import _dropout_bits, _dropout_thresh, _prec, _prng_seed
 
     prec = _prec(zs[0].dtype)
 
@@ -127,9 +127,9 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
             for h in range(heads)
         ], axis=0)                                           # [H·T, WT]
         if dropout_rate > 0:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
-            bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape), jnp.uint32)
-            keep = bits >= _dropout_thresh(dropout_rate)
+            sv = seed_ref[0] + pl.program_id(0) * group + g
+            _prng_seed(sv)
+            keep = _dropout_bits(e.shape, sv) >= _dropout_thresh(dropout_rate)
             e_d = jnp.where(keep, e * inv_keep, 0.0)  # e as the fwd used it
             dp = jnp.where(keep, dp * inv_keep, 0.0)  # dpd → dp through mask
         else:
@@ -271,7 +271,9 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
 
     prec = _prec(ks[0].dtype)
     if dropout_rate > 0:
-        from .banded import _dropout_thresh
+        from .banded import (
+            _dropout_bits, _dropout_thresh, _prng_seed,
+        )
 
         inv_keep = 1.0 / (1.0 - dropout_rate)
     for g in range(group):
@@ -291,7 +293,8 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 axis=0)                                              # [WT, 4]
             pos_c = poss[g + k0][:].astype(jnp.float32)              # [T, 4]
         if dropout_rate > 0:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * group + g)
+            sv = seed_ref[0] + pl.program_id(0) * group + g
+            _prng_seed(sv)
         dq_cols, dqw_cols = [], []
         dk_blocks = [[] for _ in range(window)]
         dv_blocks = [[] for _ in range(window)]
@@ -349,9 +352,8 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 dp = dp + (gs_self - gsp) * invd_cat \
                     + gs4[:, 3:4] * dist_cat
             if dropout_rate > 0:
-                bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape),
-                                     jnp.uint32)
-                keep = bits >= _dropout_thresh(dropout_rate)
+                keep = _dropout_bits(e.shape, sv, draw=h) >= _dropout_thresh(
+                    dropout_rate)
                 e_d = jnp.where(keep, e * inv_keep, 0.0)
                 dp = jnp.where(keep, dp * inv_keep, 0.0)
             else:

@@ -151,9 +151,9 @@ class GATConv(nn.Module):
             self.backend == "pallas"
             and graph.band is not None
             and graph.band.bias_self is not None
-            # attention dropout runs in-kernel via the Mosaic PRNG; the
-            # interpret path (CPU tests) has no PRNG → dense fallback there
-            and (not drop_active or jax.default_backend() == "tpu")
+            # attention dropout runs in-kernel: Mosaic PRNG on TPU, a
+            # counter-based hash in interpret mode (kernels.banded._hash_bits)
+            # so the flagship pallas+dropout config is CPU-testable too
         )
         out2d = None  # set when the head-mean epilogue is fused in-kernel
         if use_pallas:
@@ -322,8 +322,6 @@ class TransformerConv(nn.Module):
             self.backend == "pallas"
             and graph.band is not None
             and graph.band.bias_noself is not None
-            # in-kernel attention dropout needs the Mosaic PRNG (TPU only)
-            and (not drop_active or jax.default_backend() == "tpu")
             # edge conditioning needs the banded edge tensor (generic) or
             # the factorized geometric planes
             and (self.edge_dim is None or graph.band.edge is not None

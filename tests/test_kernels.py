@@ -545,10 +545,13 @@ class TestMeanHeadVariants:
                                        rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu",
-                    reason="in-kernel attention dropout needs the Mosaic PRNG")
 class TestAttentionDropout:
     """In-kernel dropout: deterministic per seed, fwd/bwd mask consistency.
+
+    Runs on every backend: the TPU path draws from the Mosaic PRNG, the
+    interpret path (CPU CI) from the counter-based hash stream
+    (``kernels.banded._hash_bits``) — different bits, same contract, and the
+    backward-replay checks below exercise it identically.
 
     GAT output is LINEAR in z for fixed alphas+mask, so a full-step
     directional difference equals the AD directional derivative exactly
@@ -589,6 +592,40 @@ class TestAttentionDropout:
         fd = float(loss(z + d) - loss(z))
         ad = float(jnp.vdot(jax.grad(loss)(z), d))
         assert abs(fd - ad) / max(abs(fd), 1e-9) < 1e-2
+
+    def test_dropout_rate_observed(self):
+        """~rate of attention entries are dropped (hash stream uniformity)."""
+        g = _band_graph(tile=128, n=512)
+        z, a = self._inputs(g)
+        z1 = jnp.ones_like(z)
+        seed = jnp.asarray([11], jnp.int32)
+        base = banded_gat(g.band.bias_self, z1, a * 0, a * 0, 2, 0.2, 0.0, None)
+        drop = banded_gat(g.band.bias_self, z1, a * 0, a * 0, 2, 0.2, 0.4, seed)
+        # with uniform logits and all-ones values, each row output is the
+        # kept fraction rescaled by 1/keep: mean ratio ≈ 1, per-entry jitter
+        ratio = np.asarray(drop[: g.n_nodes] / base[: g.n_nodes])
+        assert abs(ratio.mean() - 1.0) < 0.05
+        assert ratio.std() > 0.05  # it did actually drop entries
+
+    def test_transformer_edge_dropout_grad_and_determinism(self):
+        from gnn_bfs_rans_tpu.kernels.banded import banded_transformer_edge
+
+        g = _band_graph(tile=128, n=512)
+        z, _ = self._inputs(g)
+        rng = np.random.default_rng(5)
+        qw = jnp.asarray(rng.normal(size=(g.n_pad, 2 * 4)).astype(np.float32))
+        seed = jnp.asarray([9], jnp.int32)
+
+        def run(v_):
+            o, s = banded_transformer_edge(
+                g.band.bias_noself, g.band.edge, z, z, v_, qw, 2, 0.3, seed)
+            return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+        o1 = run(z)
+        o2 = run(z)
+        assert float(o1) == float(o2)
+        gz = jax.grad(run)(z)
+        assert bool(jnp.isfinite(gz).all())
 
     def test_transformer_dropout_runs_under_grad(self):
         g = _band_graph(tile=128, n=512)
