@@ -63,13 +63,27 @@ LAYER_COMPONENTS = {
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Band:
+    """Banded adjacency tensors in two co-existing layouts.
+
+    * SpMM tensors (``adj``, ``gcn``): full-tile window blocks
+      ``[n_tiles, W, T, T]`` — W dense TILE×TILE MXU matmuls per tile.
+    * Attention tensors (``bias_*``, ``edge``, ``geo``): pre-concatenated
+      **half-tile windows** ``[.., T, Wcols]`` where the window of receiver
+      tile ``t`` covers sender rows ``[t·T − k0s·(T/2), … + Wcols)`` with
+      ``k0s = ceil(bandwidth / (T/2))``.  Half-tile granularity shrinks the
+      attention kernels' [H·T, Wcols] softmax plane — their measured VPU
+      bottleneck — by 33% whenever the RCM bandwidth ≤ T/2 (Wcols 256 vs
+      384 on the BFS mesh, bandwidth 58), at identical coverage; bandwidth
+      in (T/2, T] reproduces the old 3-tile width exactly (Wcols = 3·T).
+    """
+
     adj: jax.Array | None          # [n_tiles, W, T, T] bf16 0/1
     gcn: jax.Array | None          # normalized GCN coeffs incl. self-loops
-    bias_self: jax.Array | None    # int8 0/1 attention mask (with self)
-    bias_noself: jax.Array | None  # int8 0/1 attention mask
+    bias_self: jax.Array | None    # [n_tiles, T, Wcols] int8 (with self)
+    bias_noself: jax.Array | None  # [n_tiles, T, Wcols] int8
     tile: int = dataclasses.field(metadata=dict(static=True))
-    edge: jax.Array | None = None  # [n_tiles, W, D_e, T, T] f32 edge features
-    # factorized geometric edge planes: [n_tiles, W, 2, T, T] f32 —
+    edge: jax.Array | None = None  # [n_tiles, D_e, T, Wcols] f32 edge feats
+    # factorized geometric edge planes: [n_tiles, 2, T, Wcols] f32 —
     # plane 0 = dist, plane 1 = 1/dist (0 off-band and on self-loops); the
     # direction planes are reconstructed in-kernel from `pos` (node coords)
     geo: jax.Array | None = None
@@ -87,8 +101,42 @@ class Band:
 
     @property
     def window(self) -> int:
-        """Number of window tiles W = 2·k0+1."""
-        return self._any().shape[1]
+        """Number of full-tile window blocks W = 2·k0+1 (SpMM layout)."""
+        for f in (self.adj, self.gcn):
+            if f is not None:
+                return f.shape[1]
+        # attention-only band: equivalent full tiles covering Wcols
+        return -(-self.width_cols // self.tile)
+
+    @property
+    def sub(self) -> int:
+        """Attention window granularity (half tile)."""
+        return self.tile // 2
+
+    @property
+    def width_cols(self) -> int:
+        """Attention window width in sender columns (Wcols)."""
+        for f in (self.bias_self, self.bias_noself):
+            if f is not None:
+                return f.shape[-1]
+        if self.edge is not None:
+            return self.edge.shape[-1]
+        if self.geo is not None:
+            return self.geo.shape[-1]
+        return self.window * self.tile
+
+    @property
+    def reach(self) -> int:
+        """Max sender-row distance covered on each side (node units) —
+        the halo requirement of the node-sharded partitioned path."""
+        r = 0
+        for f in (self.adj, self.gcn):
+            if f is not None:
+                r = max(r, (f.shape[1] // 2) * self.tile)
+        for f in (self.bias_self, self.bias_noself, self.edge, self.geo):
+            if f is not None:
+                r = max(r, (f.shape[-1] - self.tile) // 2)
+        return r
 
 
 def build_band(
@@ -133,6 +181,27 @@ def build_band(
     k = delta + k0
     adj[t, k, row, col] = 1.0
 
+    # Attention layout: half-tile window columns (see Band doc).  The
+    # per-receiver-tile window starts k0s·sub rows before the tile; the pad
+    # is sized from the EXACT per-edge column offsets (s − t·T), which is
+    # never wider than the full-tile window the SpMM layout uses (col_off
+    # ∈ [−k0·T, (k0+1)·T) by the tile-delta bound), and 33% narrower on
+    # bandwidth ≤ T/2 meshes like the BFS case.
+    sub = tile // 2
+    if len(senders):
+        col_off = senders.astype(np.int64) - t.astype(np.int64) * tile
+        pad_needed = max(int(-col_off.min()), int(col_off.max()) - tile + 1, 1)
+    else:
+        col_off = np.zeros(0, np.int64)
+        pad_needed = 1
+    k0s = -(-pad_needed // sub)
+    width = tile + 2 * k0s * sub
+    if width > max_window_tiles * tile:
+        return None
+    attn_col = col_off + k0s * sub
+    # self-loop column of row i: i + k0s·sub
+    diag_col = np.arange(tile) + k0s * sub
+
     # Everything below stays float32 and in-place — these are [n_tiles,3,T,T]
     # tensors and float64 temporaries dominate build time on slow-memory hosts.
     diag_idx = np.arange(tile)
@@ -158,15 +227,17 @@ def build_band(
 
     bias_self = None
     if "bias_self" in components:
-        adj_self = adj.copy()
-        # Padding rows attend only to themselves so softmax is well-defined;
-        # their outputs are masked downstream anyway.
-        adj_self[:, k0, diag_idx, diag_idx] = np.float32(1.0)
-        bias_self = (adj_self > 0).astype(np.int8)
+        bias_self = np.zeros((n_tiles, tile, width), dtype=np.int8)
+        bias_self[t, row, attn_col] = 1
+        # Every row attends at least to itself (incl. padding rows) so the
+        # GAT kernel's softmax is always well-defined; padded-row outputs are
+        # masked downstream anyway.
+        bias_self[:, diag_idx, diag_col] = 1
 
     bias_noself = None
     if "bias_noself" in components:
-        bias_noself = (adj > 0).astype(np.int8)
+        bias_noself = np.zeros((n_tiles, tile, width), dtype=np.int8)
+        bias_noself[t, row, attn_col] = 1
 
     geo = None
     pos = None
@@ -178,14 +249,14 @@ def build_band(
     ):
         geo, pos = _try_build_geo(
             edge_feat, node_pos, senders, receivers, n_pad,
-            n_tiles, window, tile, t, k, row, col,
+            n_tiles, width, tile, t, row, attn_col,
         )
 
     edge = None
     if edge_feat is not None and "edge" in components and geo is None:
         d_e = edge_feat.shape[1]
-        edge = np.zeros((n_tiles, window, d_e, tile, tile), dtype=np.float32)
-        edge[t, k, :, row, col] = np.asarray(edge_feat, dtype=np.float32)
+        edge = np.zeros((n_tiles, d_e, tile, width), dtype=np.float32)
+        edge[t, :, row, attn_col] = np.asarray(edge_feat, dtype=np.float32)
 
     # The GIN adjacency stores exactly in bfloat16 (values 0/1), halving its
     # HBM traffic in the SpMM kernel; attention masks store int8 (see module
@@ -215,7 +286,7 @@ def build_band(
 
 def _try_build_geo(
     edge_feat, node_pos, senders, receivers, n_pad,
-    n_tiles, window, tile, t, k, row, col,
+    n_tiles, width, tile, t, row, attn_col,
 ):
     """Factorized geometric edge planes, or (None, None) if the features
     aren't the geometric ``[unit dir(3), dist]`` of the node positions.
@@ -243,10 +314,10 @@ def _try_build_geo(
     if not np.allclose(recon, ef, atol=1e-4 * scale_ref + 1e-6):
         return None, None
 
-    geo = np.zeros((n_tiles, window, 2, tile, tile), dtype=np.float32)
+    geo = np.zeros((n_tiles, 2, tile, width), dtype=np.float32)
     inv = np.where(nz, 1.0 / np.maximum(dist, 1e-30), 0.0).astype(np.float32)
-    geo[t, k, 0, row, col] = np.where(nz, dist, 0.0).astype(np.float32)
-    geo[t, k, 1, row, col] = inv
+    geo[t, 0, row, attn_col] = np.where(nz, dist, 0.0).astype(np.float32)
+    geo[t, 1, row, attn_col] = inv
     pos4 = np.zeros((n_pad, 4), dtype=np.float32)
     pos4[:, :3] = pos[:, :3]
     return geo, pos4

@@ -11,13 +11,17 @@ see ``graph.band``), so
   ``out[t] = Σ_k A[t,k] @ x[t−k0+k]`` — W dense 128×128 MXU matmuls per
   tile, no gather/scatter;
 * **banded attention** (GAT / Graph-Transformer): per tile, per head —
-  dense [T, W·T] logits (additive for GAT, scaled-dot-product via MXU for
+  dense [T, Wcols] logits (additive for GAT, scaled-dot-product via MXU for
   Transformer) + additive −1e30 sparsity mask, numerically-stable softmax in
-  VMEM, then [T, W·T] @ [W·T, C] weighted sum.  A flash-attention-style fused
-  kernel: per-edge logits/weights never touch HBM.  The Transformer variant
-  optionally conditions logits and values on banded edge features
-  (``graph.band.edge``) — the edge projection is factored so only D_e≈4
-  extra [T,T] planes stream per window block (see ``banded_transformer``).
+  VMEM, then [T, Wcols] @ [Wcols, C] weighted sum.  A flash-attention-style
+  fused kernel: per-edge logits/weights never touch HBM.  The attention
+  window is **half-tile granular** (Wcols = T + 2·ceil(pad/(T/2))·(T/2),
+  pre-concatenated [n_tiles, T, Wcols] masks — see graph.band.Band): the
+  [H·T, Wcols] softmax plane is the kernels' measured VPU bottleneck, and
+  half-tile pads cut it 33% on bandwidth ≤ T/2 meshes like the BFS case.
+  The Transformer variant optionally conditions logits and values on banded
+  edge features (``graph.band.edge``) — the edge projection is factored so
+  only D_e≈4 extra [T, Wcols] planes stream (see ``banded_transformer``).
 
 Kernels process **G receiver tiles per grid step** (``_choose_group``): the
 sliding sender window is expressed as G+W−1 *blocked* input specs over the
@@ -57,24 +61,29 @@ def _prec(dtype):
 
 
 def _clamped_window_specs(window: int, tile: int, feat: int, n_tiles: int,
-                          group: int = 1):
-    """span = G+W−1 window specs over the UNPADDED array, indices clamped.
+                          group: int = 1, sub: int | None = None):
+    """Sliding-window specs over the UNPADDED array, indices clamped.
 
-    Grid step ``i`` covers receiver tiles ``i·G … i·G+G−1``; window block k
-    addresses sender tile ``i·G + k − k0`` clamped into range.  Out-of-range
-    blocks load a duplicate in-range tile whose contributions the band mask
-    (or a zero coefficient block) kills — this removes the k0-tile pad copy
-    of the feature array (an extra full read+write of HBM per call).
+    ``window`` counts blocks of ``sub`` rows (default ``sub = tile``: the
+    classic full-tile window, span G+W−1).  Grid step ``i`` covers receiver
+    tiles ``i·G … i·G+G−1``; window block k addresses sender block
+    ``i·G·r + k − k0`` (r = tile/sub blocks per receiver tile) clamped into
+    range.  Out-of-range blocks load a duplicate in-range block whose
+    contributions the band mask (or a zero coefficient block) kills — this
+    removes the pad copy of the feature array (an extra full read+write of
+    HBM per call).
     """
-    k0 = window // 2
-    last = n_tiles - 1
+    sub = tile if sub is None else sub
+    r = tile // sub
+    k0 = (window - r) // 2
+    last = n_tiles * r - 1
     return [
         pl.BlockSpec(
-            (tile, feat),
-            lambda i, k=k: (jnp.clip(i * group + k - k0, 0, last), 0),
+            (sub, feat),
+            lambda i, k=k: (jnp.clip(i * group * r + k - k0, 0, last), 0),
             memory_space=pltpu.VMEM,
         )
-        for k in range(group + window - 1)
+        for k in range(group * r + window - r)
     ]
 
 
@@ -88,7 +97,8 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
                   extra_out_bytes_per_tile: int = 0,
                   extra_in_bytes_per_tile: int = 0,
                   max_group: int = 16,
-                  scratch_bytes_per_tile: int = 0) -> int:
+                  scratch_bytes_per_tile: int = 0,
+                  sub: int | None = None) -> int:
     """Largest receiver-tile group G (∈ 16,8,4,2,1) that divides ``n_tiles``
     and keeps the double-buffered VMEM estimate under budget.
 
@@ -111,13 +121,15 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
     """
     if scratch_bytes_per_tile > 0:
         max_group = min(max_group, 8)
+    sub = tile if sub is None else sub
+    r = tile // sub
     for g in (16, 8, 4, 2, 1):
         if g > max_group or n_tiles % g:
             continue
-        span = g + window - 1
+        span = g * r + window - r               # window blocks of `sub` rows
         est = 2 * (
-            span * tile * feat_bytes            # windowed feature streams
-            + g * window * tile * tile          # int8 mask / coeff block
+            span * sub * feat_bytes             # windowed feature streams
+            + g * window * tile * sub           # int8 mask / coeff block
             + g * tile * feat_bytes             # main output
             + g * tile * extra_out_bytes_per_tile
             + g * tile * extra_in_bytes_per_tile
@@ -269,17 +281,19 @@ def _attn_dropout(p, rate: float, inv_keep: float, seed_val, draw: int = 0):
 
 
 # ---------------------------------------------------------- GAT attention
-def _gat_kernel(*refs, window, heads, negative_slope, group,
+def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
                 dropout_rate=0.0, mean_heads=False):
     """Grouped, head-stacked fused GAT step: G receiver tiles per grid step.
 
-    Per receiver tile the softmax runs head-stacked — one [H·T, W·T] chain
-    (leaky-relu, max, exp, sum, div: the VPU-bound part) instead of H narrow
-    per-head passes — followed by H MXU matmuls.  Grouping G tiles per step
-    amortizes the sliding-window overlap (span G+W−1 sender tiles streamed
-    for G outputs) and the int8 mask (dominant HBM stream at small HC) is
-    materialized to the additive 0/−1e30 bias in VMEM.  Combined ~2.1× over
-    the ungrouped per-head f32-mask kernel on the BFS mesh.
+    Per receiver tile the softmax runs head-stacked — one [H·T, Wcols] chain
+    (leaky-relu, max, exp, sum: the VPU-bound part) instead of H narrow
+    per-head passes — followed by H MXU matmuls.  The window is half-tile
+    granular (``window`` blocks of ``sub`` rows, Wcols = window·sub — see
+    graph.band.Band): on bandwidth ≤ T/2 meshes the softmax plane is 256
+    instead of 384 columns wide, a 33% cut of the kernel's measured VPU
+    bottleneck.  Grouping G tiles per step amortizes the sliding-window
+    overlap, and the int8 mask (dominant HBM stream at small HC) is
+    materialized to the additive 0/−1e30 bias in VMEM.
 
     With dropout the PRNG is re-seeded **per receiver tile** (seed + global
     tile index) so the stream is independent of the group size — the
@@ -289,28 +303,27 @@ def _gat_kernel(*refs, window, heads, negative_slope, group,
     if dropout_rate > 0:
         seed_ref = refs[0]
         i0 = 1
-    span = group + window - 1
-    mask_ref = refs[i0]                                     # [G, W, T, T]
-    asrc = refs[i0 + 1:i0 + 1 + span]                       # span × [T, H]
+    mask_ref = refs[i0]                                     # [G, T, Wcols]
+    tile = mask_ref.shape[1]
+    r = tile // sub
+    span = group * r + window - r
+    asrc = refs[i0 + 1:i0 + 1 + span]                       # span × [sub, H]
     adst_ref = refs[i0 + 1 + span]                          # [G·T, H]
-    zs = refs[i0 + 2 + span:i0 + 2 + 2 * span]              # span × [T, HC]
+    zs = refs[i0 + 2 + span:i0 + 2 + 2 * span]              # span × [sub, HC]
     o_ref = refs[i0 + 2 + 2 * span]                         # [G·T, HC]
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
-    tile = zs[0].shape[0]
     c = zs[0].shape[1] // heads
     for g in range(group):
-        mask = mask_ref[g]
-        bias_cat = (jnp.concatenate([mask[k] for k in range(window)], axis=1)
-                    .astype(jnp.float32) - 1.0) * 1e30      # [T, WT]
+        bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
         # alpha tiles load as float32: logits accumulate in f32 anyway, and
         # Mosaic rejects some bf16 sublane-broadcast patterns on [T, H]
         adst = adst_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
         asrc_cat = jnp.concatenate(
-            [asrc[g + k][:].astype(jnp.float32) for k in range(window)],
-            axis=0)                                         # [WT, H]
+            [asrc[g * r + k][:].astype(jnp.float32) for k in range(window)],
+            axis=0)                                         # [Wcols, H]
         zcat = jnp.concatenate(
-            [zs[g + k][:] for k in range(window)], axis=0)  # [WT, HC]
+            [zs[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
         # additive logits a_dst[i] + a_src[j], heads stacked along rows
         full = jnp.concatenate(
             [adst[:, h][:, None] + asrc_cat[:, h][None, :]
@@ -388,21 +401,24 @@ def banded_gat_fwd(
     Returns [N, H*C], or the head mean [N, C] when ``mean_heads`` (the
     reference's ``concat=False`` epilogue, fused — see kernel comment).
     """
-    n_tiles, window, tile, _ = bias_self.shape
+    n_tiles, tile, width = bias_self.shape
+    sub = tile // 2
+    w_sub = width // sub
+    r = tile // sub
     hc = z.shape[1]
     h = alpha_src.shape[1]
     out_feat = hc // heads if mean_heads else hc
     group = _choose_group(
-        n_tiles, window, tile,
+        n_tiles, w_sub, tile, sub=sub,
         feat_bytes=hc * z.dtype.itemsize + h * alpha_src.dtype.itemsize,
         scratch_bytes_per_tile=(
-            2 * heads * window * tile * tile * 4
+            2 * heads * tile * width * 4
             if z.dtype == jnp.float32 else 0),
     )
-    span = group + window - 1
+    span = group * r + w_sub - r
     kernel = functools.partial(
-        _gat_kernel, window=window, heads=heads,
-        negative_slope=negative_slope, group=group,
+        _gat_kernel, window=w_sub, heads=heads,
+        negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_heads=mean_heads,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
@@ -411,29 +427,29 @@ def banded_gat_fwd(
         grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, h, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, h, n_tiles, group, sub),
             # alpha_dst addresses the receiver tiles directly
             pl.BlockSpec((group * tile, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, hc, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
         ],
         out_specs=pl.BlockSpec((group * tile, out_feat), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z.shape[0], out_feat), z.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * heads * tile * window * tile * (hc // heads),
+            flops=2 * n_tiles * heads * tile * width * (hc // heads),
             bytes_accessed=bias_self.size * bias_self.dtype.itemsize
-            + (window + 1) * z.size * 4,
-            transcendentals=n_tiles * heads * tile * window * tile,
+            + (w_sub // r + 1) * z.size * 4,
+            transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
     )(*seed_in, bias_self, *([alpha_src] * span), alpha_dst, *([z] * span))
 
 
 # ------------------------------------------------- Transformer attention
-def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
+def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
                         dropout_rate=0.0, mean_heads=False, geo=False):
     """Scaled-dot-product neighbor attention; optional edge conditioning.
 
@@ -467,42 +483,47 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    span = group + window - 1
-    mask_ref = refs[i]; i += 1                   # [G, W, T, T]
+    mask_ref = refs[i]; i += 1                   # [G, T, Wcols]
+    tile = mask_ref.shape[1]
+    r = tile // sub
+    span = group * r + window - r
+    k0 = (window - r) // 2
     q_ref = refs[i]; i += 1                      # [G·T, HC]
-    ks = refs[i:i + span]; i += span
+    ks = refs[i:i + span]; i += span             # span × [sub, HC]
     vs = refs[i:i + span]; i += span
     if geo:
-        feat_ref = refs[i]; i += 1   # [G, W, 2, T, T] (dist, 1/dist)
+        feat_ref = refs[i]; i += 1   # [G, 2, T, Wcols] (dist, 1/dist)
         qw_ref = refs[i]; i += 1     # [G·T, H*4]
-        poss = refs[i:i + span]; i += span       # span × [T, 4]
+        poss = refs[i:i + span]; i += span       # span × [sub, 4]
         o_ref, s_ref = refs[i], refs[i + 1]
     elif edge_dim:
-        feat_ref = refs[i]; i += 1   # [G, W, D_e, T, T]
+        feat_ref = refs[i]; i += 1   # [G, D_e, T, Wcols]
         qw_ref = refs[i]; i += 1     # [G·T, H*D_e]
         o_ref, s_ref = refs[i], refs[i + 1]
     else:
         o_ref = refs[i]
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
-    tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
-    k0 = window // 2
     prec = _prec(ks[0].dtype)
     for g in range(group):
-        # int8 0/1 mask → additive 0/−1e30 bias blocks, once for all heads
-        mask = mask_ref[g]
-        bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30
-                for k in range(window)]
+        # int8 0/1 mask → additive 0/−1e30 bias, once for all heads
+        bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
+        # windowed k/v concatenated once per receiver tile: the per-head
+        # logit and value matmuls then run at full [*, Wcols] contraction
+        kcat = jnp.concatenate(
+            [ks[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
+        vcat = jnp.concatenate(
+            [vs[g * r + k][:] for k in range(window)], axis=0)
         if geo:
-            dist_cat = jnp.concatenate(
-                [feat_ref[g, k, 0] for k in range(window)], axis=1)  # [T, WT]
-            invd_cat = jnp.concatenate(
-                [feat_ref[g, k, 1] for k in range(window)], axis=1)
+            dist_cat = feat_ref[g, 0]                            # [T, Wcols]
+            invd_cat = feat_ref[g, 1]
             pos_cat = jnp.concatenate(
-                [poss[g + k][:].astype(jnp.float32) for k in range(window)],
-                axis=0)                                              # [WT, 4]
-            pos_c = poss[g + k0][:].astype(jnp.float32)              # [T, 4]
+                [poss[g * r + k][:].astype(jnp.float32)
+                 for k in range(window)], axis=0)                # [Wcols, 4]
+            pos_c = jnp.concatenate(
+                [poss[g * r + k0 + j][:].astype(jnp.float32)
+                 for j in range(r)], axis=0)                     # [T, 4]
         outs = []
         souts = []
         rows = slice(g * tile, (g + 1) * tile)
@@ -511,17 +532,14 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
             _prng_seed(sv)
         for h in range(heads):
             q = q_ref[rows, h * c:(h + 1) * c]
-            logits = []
-            for k in range(window):
-                kk = ks[g + k][:, h * c:(h + 1) * c]
-                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32,
-                            precision=prec) * scale
-                if edge_dim and not geo:
-                    for d in range(edge_dim):
-                        qw_d = qw_ref[rows, h * edge_dim + d][:, None]  # [T, 1]
-                        l += (qw_d * scale) * feat_ref[g, k, d]
-                logits.append(l + bias[k])
-            full = jnp.concatenate(logits, axis=1)
+            full = jnp.dot(q, kcat[:, h * c:(h + 1) * c].T,
+                           preferred_element_type=jnp.float32,
+                           precision=prec) * scale               # [T, Wcols]
+            if edge_dim and not geo:
+                for d in range(edge_dim):
+                    qw_d = qw_ref[rows, h * edge_dim + d][:, None]  # [T, 1]
+                    full += (qw_d * scale) * feat_ref[g, d]
+            full = full + bias_cat
             if geo:
                 qd = qw_ref[rows, h * 4:(h + 1) * 4].astype(
                     jnp.float32) * scale                         # [T, 4]
@@ -541,13 +559,8 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
             inv = 1.0 / denom                                # [T, 1]
             if dropout_rate > 0:
                 e = _attn_dropout(e, dropout_rate, inv_keep, sv, draw=h)
-            acc = jnp.dot(e[:, :tile], vs[g][:, h * c:(h + 1) * c],
+            acc = jnp.dot(e, vcat[:, h * c:(h + 1) * c],
                           preferred_element_type=jnp.float32, precision=prec)
-            for k in range(1, window):
-                acc += jnp.dot(e[:, k * tile:(k + 1) * tile],
-                               vs[g + k][:, h * c:(h + 1) * c],
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
             outs.append(acc * inv)
             if geo:
                 ew = e * invd_cat
@@ -559,14 +572,10 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group,
                 souts.append(jnp.concatenate(
                     [(pos_c * t0 - t13)[:, :3], s3], axis=1) * inv)
             elif edge_dim:
-                ss = []
-                for d in range(edge_dim):
-                    sd = jnp.zeros((tile, 1), jnp.float32)
-                    for k in range(window):
-                        ek = e[:, k * tile:(k + 1) * tile]
-                        sd += jnp.sum(ek * feat_ref[g, k, d], axis=1,
-                                      keepdims=True)
-                    ss.append(sd * inv)
+                ss = [
+                    jnp.sum(e * feat_ref[g, d], axis=1, keepdims=True) * inv
+                    for d in range(edge_dim)
+                ]
                 souts.append(jnp.concatenate(ss, axis=1))  # [T, D_e]
         if mean_heads:
             # fused concat=False epilogue: Σ_h out_h / H (see _gat_kernel)
@@ -602,50 +611,53 @@ def banded_transformer_fwd(
     select the factorized geometric path (identical math for
     ``[unit dir, dist]`` features at half the plane traffic).
     """
-    n_tiles, window, tile, _ = bias_noself.shape
+    n_tiles, tile, width = bias_noself.shape
+    sub = tile // 2
+    w_sub = width // sub
+    r = tile // sub
     hc = q.shape[1]
     c = hc // heads
     out_feat = c if mean_heads else hc
     geo = geo_band is not None
     edge_dim = 4 if geo else (
-        edge_band.shape[2] if edge_band is not None else 0)
+        edge_band.shape[1] if edge_band is not None else 0)
     n_planes = 2 if geo else edge_dim
     group = _choose_group(
-        n_tiles, window, tile,
+        n_tiles, w_sub, tile, sub=sub,
         feat_bytes=(2 * hc * q.dtype.itemsize       # windowed k and v streams
-                    + (4 * 4 if geo else 0)),       # windowed [T, 4] pos
+                    + (4 * 4 if geo else 0)),       # windowed [sub, 4] pos
         extra_in_bytes_per_tile=(
             hc * q.dtype.itemsize               # direct q tile
-            + window * n_planes * tile * 4      # f32 edge/geo planes
+            + n_planes * width * 4              # f32 edge/geo planes
         ),
         extra_out_bytes_per_tile=heads * edge_dim * 4,
         scratch_bytes_per_tile=(
-            2 * heads * window * tile * tile * 4
+            2 * heads * tile * width * 4
             if q.dtype == jnp.float32 else 0),
     )
-    span = group + window - 1
+    span = group * r + w_sub - r
     extra = []
     extra_specs = []
     if geo:
         extra = [geo_band, qw, *([pos] * span)]
         extra_specs = [
-            pl.BlockSpec((group, window, 2, tile, tile),
-                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 2, tile, width),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group * tile, heads * 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, 4, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, 4, n_tiles, group, sub),
         ]
     elif edge_dim:
         extra = [edge_band, qw]
         extra_specs = [
-            pl.BlockSpec((group, window, edge_dim, tile, tile),
-                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, edge_dim, tile, width),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group * tile, heads * edge_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
     kernel = functools.partial(
-        _transformer_kernel, window=window, heads=heads,
-        scale=1.0 / (c ** 0.5), edge_dim=edge_dim, group=group,
+        _transformer_kernel, window=w_sub, heads=heads,
+        scale=1.0 / (c ** 0.5), edge_dim=edge_dim, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_heads=mean_heads, geo=geo,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
@@ -670,21 +682,21 @@ def banded_transformer_fwd(
         grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, hc, n_tiles, group),
-            *_clamped_window_specs(window, tile, hc, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
+            *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
             *extra_specs,
         ],
         out_specs=out_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_tiles * heads * tile * window * tile * c,
+            flops=4 * n_tiles * heads * tile * width * c,
             bytes_accessed=bias_noself.size * bias_noself.dtype.itemsize
-            + 2 * (window + 1) * q.size * 4 + edge_bytes,
-            transcendentals=n_tiles * heads * tile * window * tile,
+            + 2 * (w_sub // r + 1) * q.size * 4 + edge_bytes,
+            transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
     )(*seed_in, bias_noself, q, *([k] * span), *([v] * span), *extra)

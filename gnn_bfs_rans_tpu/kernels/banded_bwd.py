@@ -7,10 +7,11 @@ BFS mesh, which made the train step ~30× slower than the forward).
 
 Gradients w.r.t. *receiver-indexed* quantities (dα_dst, dq, dqw) are local
 to the grid step and written directly.  Gradients w.r.t. *sender-indexed*
-quantities (dz, dα_src, dk, dv) receive contributions from up to W receiver
-tiles; each grid step emits its per-window-block partials
-``[n_tiles, W, T, F]`` and a cheap XLA shift-add (``_combine``) folds them
-into ``[N, F]`` — W adds of an [N, F] array, no scatter.
+quantities (dz, dα_src, dk, dv) receive contributions from a bounded number
+of receiver tiles; each grid step emits its per-window-block partials
+``[n_tiles, W_sub, sub, F]`` (half-tile blocks, matching the forward's
+window layout) and a cheap XLA shift-add (``combine_partials``) folds them
+into ``[N, F]`` — W_sub adds of an [N, F]-sized array, no scatter.
 
 All accumulation is float32 regardless of input dtype; cotangents are cast
 back to the primal dtypes by the ``custom_vjp`` wrappers in ``banded.py``.
@@ -30,49 +31,57 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _part_spec(window: int, tile: int, feat: int, group: int = 1):
-    return pl.BlockSpec((group, window, tile, feat), lambda i: (i, 0, 0, 0),
+def _part_spec(window: int, sub: int, feat: int, group: int = 1):
+    return pl.BlockSpec((group, window, sub, feat), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def combine_partials(part: jax.Array) -> jax.Array:
-    """[n_tiles, W, T, F] per-(receiver-tile, window-block) partials → [N, F].
+def combine_partials(part: jax.Array, tile: int) -> jax.Array:
+    """[n_tiles, W_sub, sub, F] per-(receiver-tile, window-block) partials
+    → [N, F].
 
-    Block (t, k) contributes to sender tile ``t − k0 + k``; in coordinates of
-    a k0-tile-padded array that is tile ``t + k``, so the fold is W shifted
-    adds — pure XLA, no scatter.  Accumulation always runs in float32 —
-    partials may be stored in the (bf16) primal dtype to halve the dominant
-    HBM stream of the backward, since the final cotangent is cast to the
-    primal dtype regardless.
+    Window block (t, k) covers sender sub-tile ``t·r + k − k0s`` (r = T/sub
+    blocks per tile, ``k0s = (W_sub − r)/2``), so the fold is W_sub shifted
+    adds onto an [n_tiles(+pad), r, sub, F] view — pure XLA, no scatter.
+    Accumulation always runs in float32 — partials may be stored in the
+    (bf16) primal dtype to halve the dominant HBM stream of the backward,
+    since the final cotangent is cast to the primal dtype regardless.
     """
-    n_tiles, window, tile, feat = part.shape
-    k0 = window // 2
-    acc = jnp.zeros((n_tiles + 2 * k0, tile, feat), jnp.float32)
-    for k in range(window):
-        acc = acc.at[k:k + n_tiles].add(part[:, k].astype(jnp.float32))
-    return acc[k0:k0 + n_tiles].reshape(n_tiles * tile, feat)
+    n_tiles, w_sub, sub, feat = part.shape
+    r = tile // sub
+    k0 = (w_sub - r) // 2
+    pad = -(-k0 // r)  # whole receiver tiles of padding each side
+    acc = jnp.zeros((n_tiles + 2 * pad, r, sub, feat), jnp.float32)
+    for k in range(w_sub):
+        offs = k - k0 + pad * r  # destination sub-tile, shifted non-negative
+        acc = acc.at[offs // r:offs // r + n_tiles, offs % r].add(
+            part[:, k].astype(jnp.float32))
+    flat = acc.reshape((n_tiles + 2 * pad) * tile, feat)
+    return flat[pad * tile:pad * tile + n_tiles * tile]
 
 
 # ------------------------------------------------------------ GAT backward
-def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
+def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
                     dropout_rate=0.0, mean_expand=False):
     """Grouped + head-stacked, mirroring ``banded._gat_kernel`` — the
-    softmax recompute runs as wide [H·T, W·T] VPU ops and, when dropout is
-    on, the per-receiver-tile re-seeded ``prng_random_bits`` call replays
-    the forward's PRNG stream bit-exactly regardless of either side's
-    group size."""
+    softmax recompute runs as wide [H·T, Wcols] VPU ops over the half-tile
+    window (see the forward kernel) and, when dropout is on, the
+    per-receiver-tile re-seeded ``prng_random_bits`` call replays the
+    forward's PRNG stream bit-exactly regardless of either side's group
+    size."""
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    span = group + window - 1
-    mask_ref = refs[i]; i += 1                   # [G, W, T, T]
-    asrc = refs[i:i + span]; i += span           # span × [T, H]
+    mask_ref = refs[i]; i += 1                   # [G, T, Wcols]
+    tile = mask_ref.shape[1]
+    r = tile // sub
+    span = group * r + window - r
+    asrc = refs[i:i + span]; i += span           # span × [sub, H]
     adst_ref = refs[i]; i += 1                   # [G·T, H]
-    zs = refs[i:i + span]; i += span             # span × [T, HC]
+    zs = refs[i:i + span]; i += span             # span × [sub, HC]
     g_ref = refs[i]; i += 1                      # [G·T, HC]
     dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
 
-    tile = zs[0].shape[0]
     c = zs[0].shape[1] // heads
     from .banded import _dropout_bits, _dropout_thresh, _prec, _prng_seed
 
@@ -81,14 +90,14 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
     for g in range(group):
-        mask = mask_ref[g]
-        bias_cat = (jnp.concatenate([mask[k] for k in range(window)], axis=1)
-                    .astype(jnp.float32) - 1.0) * 1e30       # [T, WT]
+        bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
         # f32 alpha loads: see note in banded._gat_kernel
         adst = adst_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
         asrc_cat = jnp.concatenate(
-            [asrc[g + k][:].astype(jnp.float32) for k in range(window)],
-            axis=0)                                          # [WT, H]
+            [asrc[g * r + k][:].astype(jnp.float32) for k in range(window)],
+            axis=0)                                          # [Wcols, H]
+        zcat = jnp.concatenate(
+            [zs[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
         pre = jnp.concatenate(
             [adst[:, h][:, None] + asrc_cat[:, h][None, :]
              for h in range(heads)],
@@ -118,14 +127,11 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
             ]
         gout_s = [gout[h] * inv[h * tile:(h + 1) * tile] for h in range(heads)]
         dp = jnp.concatenate([
-            jnp.concatenate([
-                jnp.dot(gout[h],
-                        zs[g + k][:, h * c:(h + 1) * c].T.astype(jnp.float32),
-                        preferred_element_type=jnp.float32, precision=prec)
-                for k in range(window)
-            ], axis=1)
+            jnp.dot(gout[h],
+                    zcat[:, h * c:(h + 1) * c].T.astype(jnp.float32),
+                    preferred_element_type=jnp.float32, precision=prec)
             for h in range(heads)
-        ], axis=0)                                           # [H·T, WT]
+        ], axis=0)                                           # [H·T, Wcols]
         if dropout_rate > 0:
             sv = seed_ref[0] + pl.program_id(0) * group + g
             _prng_seed(sv)
@@ -134,17 +140,17 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group,
             dp = jnp.where(keep, dp * inv_keep, 0.0)  # dpd → dp through mask
         else:
             e_d = e
-        r = jnp.sum(e * dp, axis=1, keepdims=True) * inv
-        dl = e * ((dp - r) * inv)                            # softmax VJP
+        rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
+        dl = e * ((dp - rs) * inv)                           # softmax VJP
         dpre = dl * jnp.where(pre >= 0, 1.0, negative_slope)  # [H·T, WT]
         dad_cols = []
-        das_blocks = [[] for _ in range(window)]  # [k][h] → [T, 1]
-        dz_blocks = [[] for _ in range(window)]   # [k] → [T, C] per head
+        das_blocks = [[] for _ in range(window)]  # [k][h] → [sub, 1]
+        dz_blocks = [[] for _ in range(window)]   # [k] → [sub, C] per head
         for h in range(heads):
             rows = slice(h * tile, (h + 1) * tile)
             dad_cols.append(jnp.sum(dpre[rows], axis=1, keepdims=True))
             for k in range(window):
-                cols = slice(k * tile, (k + 1) * tile)
+                cols = slice(k * sub, (k + 1) * sub)
                 das_blocks[k].append(
                     jnp.sum(dpre[rows, cols], axis=0)[:, None])
                 dz_blocks[k].append(jnp.dot(e_d[rows, cols].T, gout_s[h],
@@ -171,25 +177,29 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
     """
     from .banded import _choose_group, _clamped_window_specs, _seed_inputs
 
-    n_tiles, window, tile, _ = bias_self.shape
+    n_tiles, tile, width = bias_self.shape
+    sub = tile // 2
+    w_sub = width // sub
+    r = tile // sub
     hc = z.shape[1]
     h = alpha_src.shape[1]
     n = z.shape[0]
     g_feat = hc // heads if mean_expand else hc
     group = _choose_group(
-        n_tiles, window, tile,
+        n_tiles, w_sub, tile, sub=sub,
         feat_bytes=(hc + h) * z.dtype.itemsize + hc * 4,
         # per-window partials (dz in primal dtype + f32 dα_src) dominate the
         # output side
-        extra_out_bytes_per_tile=window * (hc * z.dtype.itemsize + h * 4),
+        extra_out_bytes_per_tile=(width // tile) * (
+            hc * z.dtype.itemsize + h * 4),
         scratch_bytes_per_tile=(
-            3 * heads * window * tile * tile * 4
+            3 * heads * tile * width * 4
             if z.dtype == jnp.float32 else 0),
     )
-    span = group + window - 1
+    span = group * r + w_sub - r
     kernel = functools.partial(
-        _gat_bwd_kernel, window=window, heads=heads,
-        negative_slope=negative_slope, group=group,
+        _gat_bwd_kernel, window=w_sub, heads=heads,
+        negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_expand=mean_expand,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
@@ -198,24 +208,24 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
         grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, h, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, h, n_tiles, group, sub),
             pl.BlockSpec((group * tile, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, hc, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
             pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((group * tile, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            _part_spec(window, tile, h, group),
-            _part_spec(window, tile, hc, group),
+            _part_spec(w_sub, sub, h, group),
+            _part_spec(w_sub, sub, hc, group),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, h), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, window, tile, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, h), jnp.float32),
             # dz partials in the primal dtype: the combined cotangent is cast
             # to z.dtype anyway, and f32 partials are the dominant HBM stream.
             # NOTE: for bf16 primals each of the W window partials is rounded
@@ -223,39 +233,42 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
             # noise of a few bf16 ulps vs all-f32 partials.  Gradient-parity
             # tests therefore compare in f32 at rtol=1e-4; bf16 training
             # quality is covered by the acceptance runs (BENCHMARKS.md).
-            jax.ShapeDtypeStruct((n_tiles, window, tile, hc), z.dtype),
+            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), z.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_tiles * heads * tile * window * tile * (hc // heads),
+            flops=4 * n_tiles * heads * tile * width * (hc // heads),
             bytes_accessed=bias_self.size * bias_self.dtype.itemsize
-            + 2 * (window + 1) * z.size * 4,
-            transcendentals=n_tiles * heads * tile * window * tile,
+            + 2 * (w_sub // r + 1) * z.size * 4,
+            transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
     )(*seed_in, bias_self, *([alpha_src] * span), alpha_dst, *([z] * span), g)
-    dz = combine_partials(dz_part).astype(z.dtype)
-    das = combine_partials(das_part).astype(alpha_src.dtype)
+    dz = combine_partials(dz_part, tile).astype(z.dtype)
+    das = combine_partials(das_part, tile).astype(alpha_src.dtype)
     return dz, das, dad.astype(alpha_dst.dtype)
 
 
 # ---------------------------------------------------- Transformer backward
-def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
+def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group, sub,
                    dropout_rate=0.0, mean_expand=False, geo=False):
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
-    span = group + window - 1
-    mask_ref = refs[i]; i += 1                   # [G, W, T, T]
+    mask_ref = refs[i]; i += 1                   # [G, T, Wcols]
+    tile = mask_ref.shape[1]
+    r = tile // sub
+    span = group * r + window - r
+    k0 = (window - r) // 2
     q_ref = refs[i]; i += 1                      # [G·T, HC]
-    ks = refs[i:i + span]; i += span
+    ks = refs[i:i + span]; i += span             # span × [sub, HC]
     vs = refs[i:i + span]; i += span
     poss = None
     if geo:
-        feat_ref = refs[i]; i += 1   # [G, W, 2, T, T] (dist, 1/dist)
+        feat_ref = refs[i]; i += 1   # [G, 2, T, Wcols] (dist, 1/dist)
         qw_ref = refs[i]; i += 1     # [G·T, H*4]
-        poss = refs[i:i + span]; i += span       # span × [T, 4]
+        poss = refs[i:i + span]; i += span       # span × [sub, 4]
     elif edge_dim:
-        feat_ref = refs[i]; i += 1   # [G, W, D_e, T, T]
+        feat_ref = refs[i]; i += 1   # [G, D_e, T, Wcols]
         qw_ref = refs[i]; i += 1     # [G·T, H*D_e]
     g_ref = refs[i]; i += 1
     gs_ref = refs[i] if has_gs else None
@@ -264,9 +277,7 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
     dk_ref, dv_ref = refs[i], refs[i + 1]; i += 2
     dqw_ref = refs[i] if edge_dim else None
 
-    tile = ks[0].shape[0]
     c = q_ref.shape[1] // heads
-    k0 = window // 2
     from .banded import _prec
 
     prec = _prec(ks[0].dtype)
@@ -278,20 +289,22 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
         inv_keep = 1.0 / (1.0 - dropout_rate)
     for g in range(group):
         rows = slice(g * tile, (g + 1) * tile)
-        # int8 0/1 mask → additive bias blocks, once for all heads
-        mask = mask_ref[g]
-        bias = [(mask[k].astype(jnp.float32) - 1.0) * 1e30
-                for k in range(window)]
+        # int8 0/1 mask → additive bias, once for all heads
+        bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
+        kcat = jnp.concatenate(
+            [ks[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
+        vcat = jnp.concatenate(
+            [vs[g * r + k][:] for k in range(window)], axis=0)
         if geo:
             # factorized geometric planes (see banded._transformer_kernel)
-            dist_cat = jnp.concatenate(
-                [feat_ref[g, k, 0] for k in range(window)], axis=1)  # [T, WT]
-            invd_cat = jnp.concatenate(
-                [feat_ref[g, k, 1] for k in range(window)], axis=1)
+            dist_cat = feat_ref[g, 0]                            # [T, Wcols]
+            invd_cat = feat_ref[g, 1]
             pos_cat = jnp.concatenate(
-                [poss[g + k][:].astype(jnp.float32) for k in range(window)],
-                axis=0)                                              # [WT, 4]
-            pos_c = poss[g + k0][:].astype(jnp.float32)              # [T, 4]
+                [poss[g * r + k][:].astype(jnp.float32)
+                 for k in range(window)], axis=0)                # [Wcols, 4]
+            pos_c = jnp.concatenate(
+                [poss[g * r + k0 + j][:].astype(jnp.float32)
+                 for j in range(r)], axis=0)                     # [T, 4]
         if dropout_rate > 0:
             sv = seed_ref[0] + pl.program_id(0) * group + g
             _prng_seed(sv)
@@ -305,26 +318,21 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 g_h = g_ref[rows].astype(jnp.float32) * (1.0 / heads)
             else:
                 g_h = g_ref[rows, h * c:(h + 1) * c].astype(jnp.float32)
-            logits, dps = [], []
-            for k in range(window):
-                kk = ks[g + k][:, h * c:(h + 1) * c]
-                l = jnp.dot(q, kk.T, preferred_element_type=jnp.float32,
-                            precision=prec) * scale
-                if edge_dim and not geo:
-                    for d in range(edge_dim):
-                        qw_d = qw_ref[rows, h * edge_dim + d][:, None]
-                        l += (qw_d * scale) * feat_ref[g, k, d]
-                logits.append(l + bias[k])
-                vk = vs[g + k][:, h * c:(h + 1) * c]
-                dp = jnp.dot(g_h, vk.T.astype(jnp.float32),
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
-                if has_gs and not geo:
-                    for d in range(edge_dim):
-                        gs_d = gs_ref[rows, h * edge_dim + d][:, None]
-                        dp += gs_d.astype(jnp.float32) * feat_ref[g, k, d]
-                dps.append(dp)
-            full = jnp.concatenate(logits, axis=1)
+            full = jnp.dot(q, kcat[:, h * c:(h + 1) * c].T,
+                           preferred_element_type=jnp.float32,
+                           precision=prec) * scale               # [T, Wcols]
+            if edge_dim and not geo:
+                for d in range(edge_dim):
+                    qw_d = qw_ref[rows, h * edge_dim + d][:, None]
+                    full += (qw_d * scale) * feat_ref[g, d]
+            full = full + bias_cat
+            dp = jnp.dot(g_h, vcat[:, h * c:(h + 1) * c].T.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=prec)                         # [T, Wcols]
+            if has_gs and not geo:
+                for d in range(edge_dim):
+                    gs_d = gs_ref[rows, h * edge_dim + d][:, None]
+                    dp += gs_d.astype(jnp.float32) * feat_ref[g, d]
             if geo:
                 qd = qw_ref[rows, h * 4:(h + 1) * 4].astype(
                     jnp.float32) * scale                         # [T, 4]
@@ -341,7 +349,6 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
             # normalization deferred (see _gat_bwd_kernel): p never formed
             inv = 1.0 / denom                                # [T, 1]
             g_s = g_h * inv   # row-scaled cotangent for the dv matmuls
-            dp = jnp.concatenate(dps, axis=1)
             if has_gs and geo:
                 # Σ_d gs_d·feat_d factorized like the forward logit term
                 gs4 = gs_ref[rows, h * 4:(h + 1) * 4].astype(jnp.float32)
@@ -358,16 +365,14 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                 dp = jnp.where(keep, dp * inv_keep, 0.0)
             else:
                 e_d = e
-            r = jnp.sum(e * dp, axis=1, keepdims=True) * inv
-            dl = (e * ((dp - r) * inv)) * scale  # logit grad incl. 1/√C
-            dq_h = jnp.zeros((tile, c), jnp.float32)
+            rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
+            dl = (e * ((dp - rs) * inv)) * scale  # logit grad incl. 1/√C
+            dq_h = jnp.dot(dl, kcat[:, h * c:(h + 1) * c].astype(jnp.float32),
+                           preferred_element_type=jnp.float32, precision=prec)
             dqw_h = []
             for k in range(window):
-                dl_k = dl[:, k * tile:(k + 1) * tile]
-                e_k = e_d[:, k * tile:(k + 1) * tile]
-                kk = ks[g + k][:, h * c:(h + 1) * c].astype(jnp.float32)
-                dq_h += jnp.dot(dl_k, kk, preferred_element_type=jnp.float32,
-                                precision=prec)
+                dl_k = dl[:, k * sub:(k + 1) * sub]
+                e_k = e_d[:, k * sub:(k + 1) * sub]
                 dk_blocks[k].append(jnp.dot(
                     dl_k.T, q.astype(jnp.float32),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -387,12 +392,8 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group,
                     [(pos_c * t0u - t13u)[:, :3], dqw3], axis=1))  # [T, 4]
             elif edge_dim:
                 for d in range(edge_dim):
-                    acc = jnp.zeros((tile, 1), jnp.float32)
-                    for k in range(window):
-                        dl_k = dl[:, k * tile:(k + 1) * tile]
-                        acc += jnp.sum(dl_k * feat_ref[g, k, d], axis=1,
-                                       keepdims=True)
-                    dqw_h.append(acc)
+                    dqw_h.append(jnp.sum(dl * feat_ref[g, d], axis=1,
+                                         keepdims=True))
                 dqw_cols.append(jnp.concatenate(dqw_h, axis=1))  # [T, D_e]
             dq_cols.append(dq_h)
         dq_ref[rows] = jnp.concatenate(dq_cols, axis=1).astype(dq_ref.dtype)
@@ -424,46 +425,50 @@ def banded_transformer_bwd(
     """
     from .banded import _choose_group, _clamped_window_specs, _seed_inputs
 
-    n_tiles, window, tile, _ = bias_noself.shape
+    n_tiles, tile, width = bias_noself.shape
+    sub = tile // 2
+    w_sub = width // sub
+    r = tile // sub
     hc = q.shape[1]
     c = hc // heads
     n = q.shape[0]
     geo = geo_band is not None
     edge_dim = 4 if geo else (
-        edge_band.shape[2] if edge_band is not None else 0)
+        edge_band.shape[1] if edge_band is not None else 0)
     n_planes = 2 if geo else edge_dim
     group = _choose_group(
-        n_tiles, window, tile,
+        n_tiles, w_sub, tile, sub=sub,
         feat_bytes=(2 * hc * q.dtype.itemsize + 2 * hc * 4
-                    + (4 * 4 if geo else 0)),   # windowed [T, 4] pos
+                    + (4 * 4 if geo else 0)),   # windowed [sub, 4] pos
         extra_in_bytes_per_tile=(
             2 * hc * q.dtype.itemsize           # direct q and g tiles
-            + window * n_planes * tile * 4      # f32 edge/geo planes
+            + n_planes * width * 4              # f32 edge/geo planes
             + 2 * heads * edge_dim * 4          # qw + gs tiles
         ),
         # per-window partials (dk + dv, primal dtype) dominate the output side
         extra_out_bytes_per_tile=(
-            2 * window * hc * q.dtype.itemsize + heads * edge_dim * 4),
+            2 * (width // tile) * hc * q.dtype.itemsize
+            + heads * edge_dim * 4),
         scratch_bytes_per_tile=(
-            3 * heads * window * tile * tile * 4
+            3 * heads * tile * width * 4
             if q.dtype == jnp.float32 else 0),
     )
-    span = group + window - 1
+    span = group * r + w_sub - r
     extra, extra_specs = [], []
     if geo:
         extra = [geo_band, qw, *([pos] * span)]
         extra_specs = [
-            pl.BlockSpec((group, window, 2, tile, tile),
-                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 2, tile, width),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group * tile, heads * 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, 4, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, 4, n_tiles, group, sub),
         ]
     elif edge_dim:
         extra = [edge_band, qw]
         extra_specs = [
-            pl.BlockSpec((group, window, edge_dim, tile, tile),
-                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, edge_dim, tile, width),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group * tile, heads * edge_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -474,8 +479,8 @@ def banded_transformer_bwd(
         gs_specs = [pl.BlockSpec((group * tile, heads * edge_dim),
                                  lambda i: (i, 0), memory_space=pltpu.VMEM)]
     kernel = functools.partial(
-        _tr_bwd_kernel, window=window, heads=heads, scale=1.0 / (c ** 0.5),
-        edge_dim=edge_dim, has_gs=has_gs, group=group,
+        _tr_bwd_kernel, window=w_sub, heads=heads, scale=1.0 / (c ** 0.5),
+        edge_dim=edge_dim, has_gs=has_gs, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_expand=mean_expand, geo=geo,
     )
     g_feat = c if mean_expand else hc
@@ -483,14 +488,14 @@ def banded_transformer_bwd(
     out_specs = [
         pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        _part_spec(window, tile, hc, group),
-        _part_spec(window, tile, hc, group),
+        _part_spec(w_sub, sub, hc, group),
+        _part_spec(w_sub, sub, hc, group),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n, hc), jnp.float32),
         # dk/dv partials in the primal dtype (see banded_gat_bwd)
-        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), k.dtype),
-        jax.ShapeDtypeStruct((n_tiles, window, tile, hc), v.dtype),
+        jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), k.dtype),
+        jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), v.dtype),
     ]
     if edge_dim:
         out_specs.append(
@@ -503,12 +508,12 @@ def banded_transformer_bwd(
         grid=(n_tiles // group,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((group, window, tile, tile), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(window, tile, hc, n_tiles, group),
-            *_clamped_window_specs(window, tile, hc, n_tiles, group),
+            *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
+            *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
             *extra_specs,
             pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -517,17 +522,17 @@ def banded_transformer_bwd(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
-            flops=8 * n_tiles * heads * tile * window * tile * c,
+            flops=8 * n_tiles * heads * tile * width * c,
             bytes_accessed=bias_noself.size * bias_noself.dtype.itemsize
-            + 3 * (window + 1) * q.size * 4,
-            transcendentals=n_tiles * heads * tile * window * tile,
+            + 3 * (w_sub // r + 1) * q.size * 4,
+            transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
     )(*seed_in, bias_noself, q, *([k] * span), *([v] * span), *extra,
       g, *gs_in)
     dq = outs[0].astype(q.dtype)
-    dk = combine_partials(outs[1]).astype(k.dtype)
-    dv = combine_partials(outs[2]).astype(v.dtype)
+    dk = combine_partials(outs[1], tile).astype(k.dtype)
+    dv = combine_partials(outs[2], tile).astype(v.dtype)
     if edge_dim:
         return dq, dk, dv, outs[3].astype(qw.dtype)
     return dq, dk, dv

@@ -180,10 +180,9 @@ def _slice_band(
     if band is None:
         return {}, 0
     tile = band.tile
-    k0 = band.window // 2
-    if halo % tile or n_loc % tile or halo // tile < k0:
+    if halo % tile or n_loc % tile or halo < band.reach:
         # misaligned shard/halo boundaries (or halo narrower than the band
-        # window) — fall back to the dense partitioned path
+        # reach) — fall back to the dense partitioned path
         return {}, 0
     ht, lt = halo // tile, n_loc // tile
     n_ext_tiles = lt + 2 * ht
@@ -202,10 +201,13 @@ def _slice_band(
             src_lo, src_hi = max(t_s, 0), min(t_s + n_ext_tiles, n_tiles)
             local[d, src_lo - t_s:src_hi - t_s] = arr[src_lo:src_hi]
             if name == "bias_self":
+                # out-of-global-range halo tiles: self-loop column of row i
+                # in the [T, Wcols] attention layout is i + (Wcols − T)/2
+                pad_left = (arr.shape[-1] - tile) // 2
                 for j in list(range(0, src_lo - t_s)) + list(
                     range(src_hi - t_s, n_ext_tiles)
                 ):
-                    local[d, j, k0, diag, diag] = 1
+                    local[d, j, diag, diag + pad_left] = 1
         out[f"band_{name}"] = local
     if band.pos is not None:
         # node positions are row-indexed — slice like node_feat

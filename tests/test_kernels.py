@@ -69,11 +69,14 @@ class TestBandConstruction:
         assert float(jnp.sum(band.adj.astype(jnp.float32))) == g.n_edges
 
     def test_wide_edges_widen_window(self):
-        # an edge 2.5 tiles wide → 5-tile window
+        # an edge 2.5 tiles wide → 5-tile SpMM window; the attention layout
+        # pads from the exact column offsets: max(t·T − s) = 32,
+        # max(s − t·T − T + 1) = 25 → pad 32, Wcols = 16 + 2·32 = 80
         src = np.array([0, 40, 0, 1], dtype=np.int32)
         dst = np.array([40, 0, 1, 0], dtype=np.int32)
         band = build_band(src, dst, 48, np.ones(48, bool), np.ones(48), tile=16)
         assert band is not None and band.window == 5
+        assert band.width_cols == 80
 
     def test_band_rejects_too_wide_graph(self):
         # an edge wider than max_window_tiles allows → band must refuse
@@ -113,14 +116,15 @@ class TestBandConstruction:
         g = _band_graph()
         band = g.band
         assert band.edge is not None
-        tile, k0 = band.tile, band.window // 2
+        tile = band.tile
+        pad_left = (band.width_cols - tile) // 2
         s = np.asarray(g.senders)[: g.n_edges]
         r = np.asarray(g.receivers)[: g.n_edges]
         feat = np.asarray(g.edge_feat)[: g.n_edges]
-        eb = np.asarray(band.edge, dtype=np.float32)
+        eb = np.asarray(band.edge, dtype=np.float32)  # [n, D_e, T, Wcols]
         t, row = r // tile, r % tile
-        k = s // tile - t + k0
-        got = eb[t, k, :, row, s % tile]
+        col = s - t * tile + pad_left
+        got = eb[t, :, row, col]
         np.testing.assert_allclose(got, feat, rtol=1e-6)
 
 
@@ -331,7 +335,7 @@ class TestGeoFactorizedTransformer:
         assert b_edge.edge is not None and b_edge.geo is None
         assert b_geo.geo is not None and b_geo.pos is not None
         assert b_geo.edge is None  # geo supersedes the generic planes
-        assert b_geo.geo.shape[2] == 2
+        assert b_geo.geo.shape[1] == 2  # (dist, 1/dist) planes
 
     def test_geo_refused_for_random_features(self):
         """Random (non-geometric) features must fall back to 'edge'."""
