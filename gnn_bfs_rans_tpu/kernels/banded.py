@@ -60,6 +60,15 @@ def _prec(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
+def _mm_cast(x, primal_dtype):
+    """Cast an f32 softmax intermediate (probabilities / logit grads) to
+    bf16 for the wide MXU matmuls when the primal path is bf16 — f32 MXU
+    passes run ~4× slower, and the ≲0.4% cast noise on p∈[0,1] weights is
+    below the bf16 training-noise floor already accepted for the stored
+    window partials.  f32 primals (the parity path) are untouched."""
+    return x.astype(primal_dtype) if primal_dtype == jnp.bfloat16 else x
+
+
 def _clamped_window_specs(window: int, tile: int, feat: int, n_tiles: int,
                           group: int = 1, sub: int | None = None):
     """Sliding-window specs over the UNPADDED array, indices clamped.
@@ -350,6 +359,7 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
             _prng_seed(sv)
             e = _attn_dropout(e, dropout_rate, inv_keep, sv)
         prec = _prec(zs[0].dtype)
+        e = _mm_cast(e, zs[0].dtype)
         if mean_heads:
             # concat=False epilogue fused in: Σ_h out_h / H → [T, C].  Doing
             # the head reduction here (accumulator add per MXU matmul) avoids
@@ -559,7 +569,7 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
             inv = 1.0 / denom                                # [T, 1]
             if dropout_rate > 0:
                 e = _attn_dropout(e, dropout_rate, inv_keep, sv, draw=h)
-            acc = jnp.dot(e, vcat[:, h * c:(h + 1) * c],
+            acc = jnp.dot(_mm_cast(e, vs[0].dtype), vcat[:, h * c:(h + 1) * c],
                           preferred_element_type=jnp.float32, precision=prec)
             outs.append(acc * inv)
             if geo:
@@ -631,8 +641,12 @@ def banded_transformer_fwd(
             + n_planes * width * 4              # f32 edge/geo planes
         ),
         extra_out_bytes_per_tile=heads * edge_dim * 4,
+        # f32 scratch: the per-head logits plane decompositions PLUS the
+        # per-receiver-tile kcat/vcat window concatenations ([width, HC]
+        # each) — Mosaic allocates them per unrolled group iteration, and an
+        # undercount fails at compile time with no fallback (ADVICE r1)
         scratch_bytes_per_tile=(
-            2 * heads * tile * width * 4
+            (2 * heads * tile * width + 2 * width * hc) * 4
             if q.dtype == jnp.float32 else 0),
     )
     span = group * r + w_sub - r

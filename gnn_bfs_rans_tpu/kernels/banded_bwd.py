@@ -83,9 +83,12 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
     dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
 
     c = zs[0].shape[1] // heads
-    from .banded import _dropout_bits, _dropout_thresh, _prec, _prng_seed
+    from .banded import (
+        _dropout_bits, _dropout_thresh, _mm_cast, _prec, _prng_seed,
+    )
 
     prec = _prec(zs[0].dtype)
+    dt = zs[0].dtype
 
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
@@ -127,8 +130,7 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
             ]
         gout_s = [gout[h] * inv[h * tile:(h + 1) * tile] for h in range(heads)]
         dp = jnp.concatenate([
-            jnp.dot(gout[h],
-                    zcat[:, h * c:(h + 1) * c].T.astype(jnp.float32),
+            jnp.dot(_mm_cast(gout[h], dt), zcat[:, h * c:(h + 1) * c].T,
                     preferred_element_type=jnp.float32, precision=prec)
             for h in range(heads)
         ], axis=0)                                           # [H·T, Wcols]
@@ -153,9 +155,9 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
                 cols = slice(k * sub, (k + 1) * sub)
                 das_blocks[k].append(
                     jnp.sum(dpre[rows, cols], axis=0)[:, None])
-                dz_blocks[k].append(jnp.dot(e_d[rows, cols].T, gout_s[h],
-                                            preferred_element_type=jnp.float32,
-                                            precision=prec))
+                dz_blocks[k].append(jnp.dot(
+                    _mm_cast(e_d[rows, cols], dt).T, _mm_cast(gout_s[h], dt),
+                    preferred_element_type=jnp.float32, precision=prec))
         dad_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
             dad_cols, axis=1).astype(dad_ref.dtype)
         das_ref[g] = jnp.stack(
@@ -278,9 +280,10 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group, sub,
     dqw_ref = refs[i] if edge_dim else None
 
     c = q_ref.shape[1] // heads
-    from .banded import _prec
+    from .banded import _mm_cast, _prec
 
     prec = _prec(ks[0].dtype)
+    dt = ks[0].dtype
     if dropout_rate > 0:
         from .banded import (
             _dropout_bits, _dropout_thresh, _prng_seed,
@@ -326,7 +329,7 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group, sub,
                     qw_d = qw_ref[rows, h * edge_dim + d][:, None]
                     full += (qw_d * scale) * feat_ref[g, d]
             full = full + bias_cat
-            dp = jnp.dot(g_h, vcat[:, h * c:(h + 1) * c].T.astype(jnp.float32),
+            dp = jnp.dot(_mm_cast(g_h, dt), vcat[:, h * c:(h + 1) * c].T,
                          preferred_element_type=jnp.float32,
                          precision=prec)                         # [T, Wcols]
             if has_gs and not geo:
@@ -367,19 +370,20 @@ def _tr_bwd_kernel(*refs, window, heads, scale, edge_dim, has_gs, group, sub,
                 e_d = e
             rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
             dl = (e * ((dp - rs) * inv)) * scale  # logit grad incl. 1/√C
-            dq_h = jnp.dot(dl, kcat[:, h * c:(h + 1) * c].astype(jnp.float32),
+            dq_h = jnp.dot(_mm_cast(dl, dt), kcat[:, h * c:(h + 1) * c],
                            preferred_element_type=jnp.float32, precision=prec)
             dqw_h = []
             for k in range(window):
                 dl_k = dl[:, k * sub:(k + 1) * sub]
                 e_k = e_d[:, k * sub:(k + 1) * sub]
                 dk_blocks[k].append(jnp.dot(
-                    dl_k.T, q.astype(jnp.float32),
+                    _mm_cast(dl_k, dt).T,
+                    q if dt == jnp.bfloat16 else q.astype(jnp.float32),
                     preferred_element_type=jnp.float32, precision=prec,
                 ))
-                dv_blocks[k].append(jnp.dot(e_k.T, g_s,
-                                            preferred_element_type=jnp.float32,
-                                            precision=prec))
+                dv_blocks[k].append(jnp.dot(
+                    _mm_cast(e_k, dt).T, _mm_cast(g_s, dt),
+                    preferred_element_type=jnp.float32, precision=prec))
             if geo:
                 # dqw_d = Σ_jk dl·feat_d — same factorization as the s output
                 u = dl * invd_cat
@@ -449,8 +453,11 @@ def banded_transformer_bwd(
         extra_out_bytes_per_tile=(
             2 * (width // tile) * hc * q.dtype.itemsize
             + heads * edge_dim * 4),
+        # f32 scratch includes the kcat/vcat window concatenations (see the
+        # forward wrapper) — the geo backward at HC=256 measures 17.4 MB
+        # scoped VMEM at the group the old estimate picked (hard limit 16)
         scratch_bytes_per_tile=(
-            3 * heads * tile * width * 4
+            (3 * heads * tile * width + 2 * width * hc) * 4
             if q.dtype == jnp.float32 else 0),
     )
     span = group * r + w_sub - r

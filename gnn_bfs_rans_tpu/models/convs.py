@@ -348,7 +348,17 @@ class TransformerConv(nn.Module):
             # recover W_e [D_e, H*C] from the shared Dense (lin_edge(I) = W_e)
             # so parameter naming stays identical across backends
             w_e = lin_edge(jnp.eye(d_e, dtype=x.dtype)).reshape(d_e, H, C)
-            qw = jnp.einsum("nhc,dhc->nhd", q, w_e).reshape(-1, H * d_e)
+            # qw[n, h·D+d] = Σ_c q[n,h,c]·w_e[d,h,c] as ONE MXU matmul
+            # against a block-diagonal [H·C, H·D_e] matrix — the einsum form
+            # lowers to strided batched contractions (same trick as the GAT
+            # α matmul, models/convs.py GATConv)
+            eye_h = jnp.eye(H, dtype=jnp.float32)
+            w_blk = (
+                eye_h[:, None, :, None]
+                * jnp.transpose(w_e, (1, 2, 0))[:, :, None, :]
+            ).reshape(H * C, H * d_e)
+            qw = jnp.dot(q.reshape(-1, H * C), w_blk.astype(q.dtype),
+                         preferred_element_type=jnp.float32).astype(q.dtype)
             if graph.band.geo is not None:
                 # factorized geometric path: 2 banded planes + positions
                 # instead of 4 planes (see kernels.banded)
