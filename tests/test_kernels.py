@@ -707,3 +707,61 @@ class TestBFSGraphBand:
         np.testing.assert_allclose(
             unperm, out_raw[: g_raw.n_nodes], rtol=2e-2, atol=2e-4
         )
+
+
+class TestBandLayoutProperties:
+    """Invariants of the half-tile attention layout (graph.band.Band)."""
+
+    def test_bfs_band_is_half_tile_narrow(self, bfs_mesh):
+        """BFS bandwidth 58 < 64 → 256-column windows (not 3 full tiles)."""
+        from gnn_bfs_rans_tpu.graph import build_graph
+
+        g = build_graph(bfs_mesh, with_band=True)
+        assert g.band.width_cols == 256
+        # reach maxes over ALL tensors: the SpMM full-tile layout (k0·T=128)
+        # dominates the attention windows' 64 — the halo must cover both
+        assert g.band.reach == 128
+        assert g.band.window == 3  # SpMM layout keeps full tiles
+        assert g.band.bias_self.shape == (g.n_pad // 128, 128, 256)
+
+    def test_mask_columns_cover_all_edges(self):
+        """Every edge lands inside its receiver tile's window columns."""
+        g = _band_graph(tile=32, width=20)
+        band = g.band
+        tile = band.tile
+        pad = (band.width_cols - tile) // 2
+        s = np.asarray(g.senders)[: g.n_edges]
+        r = np.asarray(g.receivers)[: g.n_edges]
+        col = s - (r // tile) * tile + pad
+        assert (col >= 0).all() and (col < band.width_cols).all()
+        m = np.asarray(band.bias_noself)
+        assert (m[r // tile, r % tile, col] == 1).all()
+        # and the mask has exactly n_edges set bits
+        assert int(m.sum()) == g.n_edges
+
+    def test_attention_only_band_window_property(self):
+        """Bands built without adj/gcn derive window from the mask width."""
+        from gnn_bfs_rans_tpu.graph.band import build_band
+
+        g = _band_graph(tile=32)
+        s = np.asarray(g.senders)[: g.n_edges]
+        r = np.asarray(g.receivers)[: g.n_edges]
+        band = build_band(s, r, g.n_pad, np.asarray(g.node_mask),
+                          np.asarray(g.in_degree), tile=32,
+                          components=("bias_self",))
+        assert band.adj is None and band.gcn is None
+        assert band.window == -(-band.width_cols // band.tile)
+        assert band.reach == (band.width_cols - band.tile) // 2
+
+
+class TestPartitionReachFallback:
+    def test_halo_narrower_than_reach_falls_back_dense(self):
+        """A mesh whose attention reach exceeds the halo must drop the band
+        slices (dense partitioned path) instead of silently mis-windowing."""
+        from gnn_bfs_rans_tpu.parallel.partition import _slice_band
+
+        # bandwidth > 128 → reach > 128 = halo
+        g = _band_graph(n=2048, tile=128, width=200)
+        assert g.band.reach > 128
+        out, tile = _slice_band(g, 2, 1024, 128)
+        assert out == {} and tile == 0
