@@ -291,7 +291,7 @@ def _attn_dropout(p, rate: float, inv_keep: float, seed_val, draw: int = 0):
 
 # ---------------------------------------------------------- GAT attention
 def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
-                dropout_rate=0.0, mean_heads=False):
+                dropout_rate=0.0, mean_heads=False, fuse_proj=False):
     """Grouped, head-stacked fused GAT step: G receiver tiles per grid step.
 
     Per receiver tile the softmax runs head-stacked — one [H·T, Wcols] chain
@@ -316,13 +316,32 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
     tile = mask_ref.shape[1]
     r = tile // sub
     span = group * r + window - r
+    w_ref = None
+    if fuse_proj:
+        w_ref = refs[i0 + 1]                                # [F, HC]
+        i0 += 1
     asrc = refs[i0 + 1:i0 + 1 + span]                       # span × [sub, H]
     adst_ref = refs[i0 + 1 + span]                          # [G·T, H]
-    zs = refs[i0 + 2 + span:i0 + 2 + 2 * span]              # span × [sub, HC]
+    # span × [sub, HC] value blocks — or [sub, F] node-feature blocks when
+    # the projection is fused (z_j computed in VMEM below)
+    zs = refs[i0 + 2 + span:i0 + 2 + 2 * span]
     o_ref = refs[i0 + 2 + 2 * span]                         # [G·T, HC]
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
-    c = zs[0].shape[1] // heads
+    if fuse_proj:
+        # project each sender block ONCE per grid step (blocks are shared
+        # across the group's windows): z_k = x_k @ W, MXU work that overlaps
+        # the VPU softmax planes — the z array never exists in HBM
+        dt = w_ref.dtype
+        zs = [
+            jnp.dot(zs[k][:], w_ref[:],
+                    preferred_element_type=jnp.float32).astype(dt)
+            for k in range(span)
+        ]
+        c = w_ref.shape[1] // heads
+    else:
+        zs = [z[:] for z in zs]
+        c = zs[0].shape[1] // heads
     for g in range(group):
         bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
         # alpha tiles load as float32: logits accumulate in f32 anyway, and
@@ -332,7 +351,7 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
             [asrc[g * r + k][:].astype(jnp.float32) for k in range(window)],
             axis=0)                                         # [Wcols, H]
         zcat = jnp.concatenate(
-            [zs[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
+            [zs[g * r + k] for k in range(window)], axis=0)  # [Wcols, HC]
         # additive logits a_dst[i] + a_src[j], heads stacked along rows
         full = jnp.concatenate(
             [adst[:, h][:, None] + asrc_cat[:, h][None, :]
@@ -794,6 +813,64 @@ def _gatm_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
 
 
 banded_gat_mean.defvjp(_gatm_vjp_fwd, _gatm_vjp_bwd)
+
+
+def banded_gat_mean_fused(bias_self, w, x, alpha_src, alpha_dst, heads,
+                          negative_slope=0.2):
+    """``banded_gat_mean`` with the z-projection fused into the kernel.
+
+    ``w`` is the GAT linear kernel [F, H·C]; sender blocks project to
+    z = x·W inside VMEM (once per grid step, shared across the group), so
+    the [N, H·C] z array never exists in HBM — removing its write+read
+    round trip and the separate projection dispatch from the forward.
+    No-grad inference/eval path only (no dropout, no custom VJP — training
+    keeps the unfused call whose backward reuses z as a residual).
+    """
+    n_tiles, tile, width = bias_self.shape
+    sub = tile // 2
+    w_sub = width // sub
+    r = tile // sub
+    f, hc = w.shape
+    h = alpha_src.shape[1]
+    group = _choose_group(
+        n_tiles, w_sub, tile, sub=sub,
+        feat_bytes=f * x.dtype.itemsize + h * alpha_src.dtype.itemsize,
+        # per-grid-step projected z blocks live in VMEM: span × [sub, HC]
+        extra_in_bytes_per_tile=2 * hc * x.dtype.itemsize + 2 * f * 2,
+        scratch_bytes_per_tile=(
+            2 * heads * tile * width * 4 + width * hc * 4
+            if x.dtype == jnp.float32 else 0),
+    )
+    span = group * r + w_sub - r
+    kernel = functools.partial(
+        _gat_kernel, window=w_sub, heads=heads,
+        negative_slope=negative_slope, group=group, sub=sub,
+        mean_heads=True, fuse_proj=True,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles // group,),
+        in_specs=[
+            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(w_sub, tile, h, n_tiles, group, sub),
+            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(w_sub, tile, f, n_tiles, group, sub),
+        ],
+        out_specs=pl.BlockSpec((group * tile, hc // heads), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], hc // heads), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * tile * (width * (hc // heads) * heads
+                                        + 2 * f * hc),
+            bytes_accessed=bias_self.size + x.size * x.dtype.itemsize * 2,
+            transcendentals=n_tiles * heads * tile * width,
+        ),
+        interpret=_use_interpret(),
+    )(bias_self, w, *([alpha_src] * span), alpha_dst, *([x] * span))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -119,7 +119,52 @@ class GATConv(nn.Module):
         self, x: jax.Array, graph: Graph, deterministic: bool = True
     ) -> jax.Array:
         H, C = self.heads, self.features
-        z2d = _lecun_linear(H * C, use_bias=False, name="lin", dtype=self.dtype)(x)
+        lin = _lecun_linear(H * C, use_bias=False, name="lin", dtype=self.dtype)
+        # Fused-projection inference path: z = x·W happens inside the Pallas
+        # kernel (per sender block, in VMEM) so the [N, H·C] z array never
+        # round-trips HBM.  Eval/no-grad only — the training path keeps the
+        # separate projection whose z is a backward residual.  The α logits
+        # factor through W (α = x·(W·amat)), so z2d is never needed outside.
+        fuse = (
+            deterministic
+            and not self.concat
+            and self.backend == "pallas"
+            and graph.band is not None
+            and graph.band.bias_self is not None
+        )
+        if fuse:
+            from ..kernels.banded import banded_gat_mean_fused
+
+            # materialize W via the Dense trick (parameter naming unchanged)
+            w = lin(jnp.eye(x.shape[1], dtype=x.dtype))  # [F, H·C]
+            att_src = self.param(
+                "att_src",
+                nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+                (1, H, C),
+            )
+            att_dst = self.param(
+                "att_dst",
+                nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+                (1, H, C),
+            )
+            eye = jnp.eye(H, dtype=jnp.float32)
+            amat = jnp.concatenate(
+                [(eye[:, None, :] * att_src[0][:, :, None]).reshape(H * C, H),
+                 (eye[:, None, :] * att_dst[0][:, :, None]).reshape(H * C, H)],
+                axis=1,
+            )
+            alphas = jnp.dot(
+                x, (w.astype(jnp.float32) @ amat).astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )  # [N, 2H]
+            out2d = banded_gat_mean_fused(
+                graph.band.bias_self, w, x, alphas[:, :H], alphas[:, H:],
+                H, self.negative_slope,
+            )
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            return out2d + bias
+
+        z2d = lin(x)
         att_src = self.param(
             "att_src", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (1, H, C),

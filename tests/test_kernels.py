@@ -765,3 +765,42 @@ class TestPartitionReachFallback:
         assert g.band.reach > 128
         out, tile = _slice_band(g, 2, 1024, 128)
         assert out == {} and tile == 0
+
+
+class TestFusedProjectionGAT:
+    """banded_gat_mean_fused (inference path: z = x·W inside the kernel)."""
+
+    @pytest.mark.parametrize("width", [16, 30])
+    def test_matches_unfused(self, width):
+        from gnn_bfs_rans_tpu.kernels.banded import (
+            banded_gat_mean,
+            banded_gat_mean_fused,
+        )
+
+        g = _band_graph(width=width)
+        rng = np.random.default_rng(3)
+        H, C, F = 2, 8, 16
+        x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(F, H * C)).astype(np.float32)) * 0.3
+        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        z = x @ w
+        ref = banded_gat_mean(g.band.bias_self, z, a_s, a_d, H, 0.2, 0.0, None)
+        got = banded_gat_mean_fused(g.band.bias_self, w, x, a_s, a_d, H, 0.2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_conv_eval_uses_fused_and_matches_train_forward(self):
+        """GATConv eval (fused) == the train-mode forward at dropout 0."""
+        from gnn_bfs_rans_tpu.models.convs import GATConv
+
+        g = _band_graph(width=16)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(g.n_pad, 16)).astype(np.float32))
+        mod = GATConv(features=16, heads=2, backend="pallas", dropout=0.0)
+        variables = mod.init(jax.random.PRNGKey(0), x, g)
+        out_eval = mod.apply(variables, x, g, True)    # fused path
+        out_train = mod.apply(variables, x, g, False)  # unfused (z residual)
+        np.testing.assert_allclose(np.asarray(out_eval),
+                                   np.asarray(out_train),
+                                   rtol=1e-5, atol=1e-5)
