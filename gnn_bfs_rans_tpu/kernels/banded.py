@@ -479,7 +479,8 @@ def banded_gat_fwd(
 
 # ------------------------------------------------- Transformer attention
 def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
-                        dropout_rate=0.0, mean_heads=False, geo=False):
+                        dropout_rate=0.0, mean_heads=False, geo=False,
+                        fuse_proj=False):
     """Scaled-dot-product neighbor attention; optional edge conditioning.
 
     Grouped like ``_gat_kernel``: G receiver tiles per grid step share the
@@ -517,12 +518,44 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
     r = tile // sub
     span = group * r + window - r
     k0 = (window - r) // 2
-    q_ref = refs[i]; i += 1                      # [G·T, HC]
-    ks = refs[i:i + span]; i += span             # span × [sub, HC]
-    vs = refs[i:i + span]; i += span
+    if fuse_proj:
+        # no-grad path: q/k/v projected in VMEM from node features (see
+        # banded_gat_mean_fused) — the [N, HC] q/k/v arrays never hit HBM
+        wq_ref, wk_ref, wv_ref = refs[i:i + 3]; i += 3   # [F, HC]
+        bq_ref, bk_ref, bv_ref = refs[i:i + 3]; i += 3   # [1, HC]
+        xq_ref = refs[i]; i += 1                         # [G·T, F] direct
+        xs = refs[i:i + span]; i += span                 # span × [sub, F]
+        dtp = wq_ref.dtype
+        if geo:
+            wblk_ref = refs[i]; i += 1                   # [HC, H*4]
+        ks = [
+            (jnp.dot(xs[k][:], wk_ref[:],
+                     preferred_element_type=jnp.float32)
+             + bk_ref[0]).astype(dtp)
+            for k in range(span)
+        ]
+        vs = [
+            (jnp.dot(xs[k][:], wv_ref[:],
+                     preferred_element_type=jnp.float32)
+             + bv_ref[0]).astype(dtp)
+            for k in range(span)
+        ]
+        q_ref = (jnp.dot(xq_ref[:], wq_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + bq_ref[0]).astype(dtp)                # [G·T, HC]
+        if geo:
+            qw_ref = jnp.dot(_mm_cast(q_ref, dtp), wblk_ref[:],
+                             preferred_element_type=jnp.float32)  # [G·T, H·4]
+    else:
+        q_ref = refs[i]; i += 1                  # [G·T, HC]
+        ks = refs[i:i + span]; i += span         # span × [sub, HC]
+        ks = [k_[:] for k_ in ks]
+        vs = refs[i:i + span]; i += span
+        vs = [v_[:] for v_ in vs]
     if geo:
         feat_ref = refs[i]; i += 1   # [G, 2, T, Wcols] (dist, 1/dist)
-        qw_ref = refs[i]; i += 1     # [G·T, H*4]
+        if not fuse_proj:
+            qw_ref = refs[i]; i += 1     # [G·T, H*4]
         poss = refs[i:i + span]; i += span       # span × [sub, 4]
         o_ref, s_ref = refs[i], refs[i + 1]
     elif edge_dim:
@@ -541,9 +574,9 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
         # windowed k/v concatenated once per receiver tile: the per-head
         # logit and value matmuls then run at full [*, Wcols] contraction
         kcat = jnp.concatenate(
-            [ks[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
+            [ks[g * r + k] for k in range(window)], axis=0)  # [Wcols, HC]
         vcat = jnp.concatenate(
-            [vs[g * r + k][:] for k in range(window)], axis=0)
+            [vs[g * r + k] for k in range(window)], axis=0)
         if geo:
             dist_cat = feat_ref[g, 0]                            # [T, Wcols]
             invd_cat = feat_ref[g, 1]
@@ -1093,3 +1126,81 @@ def _trgm_vjp_bwd(heads, dropout_rate, res, g):
 
 
 banded_transformer_geo_mean.defvjp(_trgm_vjp_fwd, _trgm_vjp_bwd)
+
+
+def banded_transformer_geo_mean_fused(
+    bias_noself, geo_band, pos, x,
+    wq, wk, wv,       # [F, HC]
+    bq, bk, bv,       # [HC]
+    wblk,             # [HC, H·4] block-diagonal qw projection (q @ W_e form)
+    heads,
+):
+    """``banded_transformer_geo_mean`` with q/k/v projections fused in-kernel.
+
+    No-grad inference/eval path (see ``banded_gat_mean_fused``): sender
+    blocks project to k/v once per grid step in VMEM, the receiver tile to
+    q (and qw = q·wblk) — the [N, HC] q/k/v arrays never exist in HBM.
+    Returns (out [N, C], s [N, H·4]) with identical semantics.
+    """
+    n_tiles, tile, width = bias_noself.shape
+    sub = tile // 2
+    w_sub = width // sub
+    r = tile // sub
+    f, hc = wq.shape
+    c = hc // heads
+    group = _choose_group(
+        n_tiles, w_sub, tile, sub=sub,
+        feat_bytes=f * x.dtype.itemsize + 4 * 4,
+        # per-grid-step projected k/v blocks + q tile live in VMEM
+        extra_in_bytes_per_tile=(5 * hc * x.dtype.itemsize
+                                 + 2 * width * 4 + 6 * f * 2),
+        extra_out_bytes_per_tile=heads * 4 * 4,
+        scratch_bytes_per_tile=(
+            (2 * heads * tile * width + 4 * width * hc) * 4
+            if x.dtype == jnp.float32 else 0),
+    )
+    span = group * r + w_sub - r
+    kernel = functools.partial(
+        _transformer_kernel, window=w_sub, heads=heads,
+        scale=1.0 / (c ** 0.5), edge_dim=4, group=group, sub=sub,
+        mean_heads=True, geo=True, fuse_proj=True,
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles // group,),
+        in_specs=[
+            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((f, hc)), const((f, hc)), const((f, hc)),
+            const((1, hc)), const((1, hc)), const((1, hc)),
+            pl.BlockSpec((group * tile, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(w_sub, tile, f, n_tiles, group, sub),
+            const((hc, heads * 4)),
+            pl.BlockSpec((group, 2, tile, width), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *_clamped_window_specs(w_sub, tile, 4, n_tiles, group, sub),
+        ],
+        out_specs=(
+            pl.BlockSpec((group * tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * tile, heads * 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x.shape[0], c), x.dtype),
+            jax.ShapeDtypeStruct((x.shape[0], heads * 4), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * tile * (2 * width * hc + 3 * f * hc),
+            bytes_accessed=bias_noself.size
+            + geo_band.size * 4 + 2 * x.size * x.dtype.itemsize,
+            transcendentals=n_tiles * heads * tile * width,
+        ),
+        interpret=_use_interpret(),
+    )(bias_noself, wq, wk, wv,
+      bq.reshape(1, hc), bk.reshape(1, hc), bv.reshape(1, hc),
+      x, *([x] * span), wblk,
+      geo_band, *([pos] * span))

@@ -351,9 +351,12 @@ class TransformerConv(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         H, C = self.heads, self.features
-        q = _lecun_linear(H * C, name="lin_query", dtype=self.dtype)(x).reshape(-1, H, C)
-        k = _lecun_linear(H * C, name="lin_key", dtype=self.dtype)(x).reshape(-1, H, C)
-        v = _lecun_linear(H * C, name="lin_value", dtype=self.dtype)(x).reshape(-1, H, C)
+        lin_q = _lecun_linear(H * C, name="lin_query", dtype=self.dtype)
+        lin_k = _lecun_linear(H * C, name="lin_key", dtype=self.dtype)
+        lin_v = _lecun_linear(H * C, name="lin_value", dtype=self.dtype)
+        q = lin_q(x).reshape(-1, H, C)
+        k = lin_k(x).reshape(-1, H, C)
+        v = lin_v(x).reshape(-1, H, C)
         scale = 1.0 / jnp.sqrt(jnp.asarray(C, x.dtype))
 
         edge_kv = None
@@ -405,22 +408,55 @@ class TransformerConv(nn.Module):
             qw = jnp.dot(q.reshape(-1, H * C), w_blk.astype(q.dtype),
                          preferred_element_type=jnp.float32).astype(q.dtype)
             if graph.band.geo is not None:
-                # factorized geometric path: 2 banded planes + positions
-                # instead of 4 planes (see kernels.banded)
-                kernel_fn = (banded_transformer_geo if self.concat
-                             else banded_transformer_geo_mean)
-                out, s = kernel_fn(
-                    graph.band.bias_noself,
-                    graph.band.geo,
-                    graph.band.pos,
-                    q.reshape(-1, H * C),
-                    k.reshape(-1, H * C),
-                    v.reshape(-1, H * C),
-                    qw,
-                    H,
-                    rate,
-                    seed,
-                )
+                # NOTE: a fused-projection eval path exists
+                # (banded_transformer_geo_mean_fused, parity-tested) but
+                # measured SLOWER than unfused here (1.64 vs 1.11 ms fwd —
+                # the ~20 serialized in-kernel block projections of 3
+                # matrices don't overlap the way GAT's single W does), so it
+                # stays opt-out pending a pipelined variant (ROADMAP).
+                if False and deterministic and not self.concat:
+                    # fused-projection inference path (see GATConv): q/k/v
+                    # project inside the kernel, never touching HBM.  The
+                    # q/k/v computed above are dead code here and DCE'd by
+                    # XLA (they share the same Dense params).
+                    from ..kernels.banded import (
+                        banded_transformer_geo_mean_fused,
+                    )
+
+                    eye_f = jnp.eye(x.shape[1], dtype=x.dtype)
+                    zero_f = jnp.zeros((1, x.shape[1]), x.dtype)
+                    ws, bs = [], []
+                    for lin_m in (lin_q, lin_k, lin_v):
+                        b_row = lin_m(zero_f)
+                        ws.append(lin_m(eye_f) - b_row)
+                        bs.append(b_row.reshape(-1))
+                    wblk = (
+                        jnp.eye(H, dtype=jnp.float32)[:, None, :, None]
+                        * jnp.transpose(w_e, (1, 2, 0)).astype(
+                            jnp.float32)[:, :, None, :]
+                    ).reshape(H * C, H * d_e).astype(x.dtype)
+                    out, s = banded_transformer_geo_mean_fused(
+                        graph.band.bias_noself, graph.band.geo,
+                        graph.band.pos, x,
+                        ws[0], ws[1], ws[2], bs[0], bs[1], bs[2], wblk, H,
+                    )
+                else:
+                    # factorized geometric path: 2 banded planes + positions
+                    # instead of 4 planes (see kernels.banded)
+                    kernel_fn = (banded_transformer_geo if self.concat
+                                 else banded_transformer_geo_mean)
+                    out, s = kernel_fn(
+                        graph.band.bias_noself,
+                        graph.band.geo,
+                        graph.band.pos,
+                        q.reshape(-1, H * C),
+                        k.reshape(-1, H * C),
+                        v.reshape(-1, H * C),
+                        qw,
+                        H,
+                        rate,
+                        seed,
+                    )
             else:
                 kernel_fn = (banded_transformer_edge if self.concat
                              else banded_transformer_edge_mean)

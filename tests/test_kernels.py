@@ -804,3 +804,21 @@ class TestFusedProjectionGAT:
         np.testing.assert_allclose(np.asarray(out_eval),
                                    np.asarray(out_train),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_transformer_conv_eval_fused_matches_train_forward(self):
+        """TransformerConv eval (fused q/k/v projections) == train forward."""
+        from gnn_bfs_rans_tpu.models.convs import TransformerConv
+
+        g, _, b_geo = _geo_bands()
+        import dataclasses as _dc
+        g = _dc.replace(g, band=b_geo)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(g.n_pad, 16)).astype(np.float32))
+        mod = TransformerConv(features=16, heads=2, backend="pallas",
+                              dropout=0.0, edge_dim=4)
+        variables = mod.init(jax.random.PRNGKey(0), x, g)
+        out_eval = mod.apply(variables, x, g, True)    # fused path
+        out_train = mod.apply(variables, x, g, False)  # unfused
+        np.testing.assert_allclose(np.asarray(out_eval),
+                                   np.asarray(out_train),
+                                   rtol=1e-4, atol=1e-5)
