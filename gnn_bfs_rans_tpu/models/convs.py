@@ -342,6 +342,9 @@ class TransformerConv(nn.Module):
     root_weight: bool = True
     backend: Backend = "dense"
     dtype: Any = None
+    # opt-in fused-projection eval kernel (q/k/v projected in-kernel; see the
+    # NOTE below for why it is off by default)
+    fuse_eval: bool = False
 
     @nn.compact
     def __call__(
@@ -408,13 +411,13 @@ class TransformerConv(nn.Module):
             qw = jnp.dot(q.reshape(-1, H * C), w_blk.astype(q.dtype),
                          preferred_element_type=jnp.float32).astype(q.dtype)
             if graph.band.geo is not None:
-                # NOTE: a fused-projection eval path exists
-                # (banded_transformer_geo_mean_fused, parity-tested) but
-                # measured SLOWER than unfused here (1.64 vs 1.11 ms fwd —
-                # the ~20 serialized in-kernel block projections of 3
-                # matrices don't overlap the way GAT's single W does), so it
-                # stays opt-out pending a pipelined variant (ROADMAP).
-                if False and deterministic and not self.concat:
+                # NOTE: the fused-projection eval path
+                # (banded_transformer_geo_mean_fused, parity-tested) measured
+                # SLOWER than unfused here (1.64 vs 1.11 ms fwd — the ~20
+                # serialized in-kernel block projections of 3 matrices don't
+                # overlap the way GAT's single W does), so it is opt-in via
+                # ModelConfig.fuse_eval pending a pipelined variant (ROADMAP).
+                if self.fuse_eval and deterministic and not self.concat:
                     # fused-projection inference path (see GATConv): q/k/v
                     # project inside the kernel, never touching HBM.  The
                     # q/k/v computed above are dead code here and DCE'd by

@@ -54,6 +54,10 @@ class ModelConfig:
     use_edge_attr: bool = True   # feeds edge features to Transformer conv
     backend: str = "dense"       # segment | dense | pallas
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
+    # Fused-projection eval kernel for the edge-conditioned Transformer
+    # (q/k/v projected inside the Pallas kernel).  Off by default: measured
+    # slower than the unfused path on the BFS mesh (see models/convs.py NOTE).
+    fuse_eval: bool = False
     # Rematerialize each conv under jax.checkpoint: activations inside the
     # conv (projections z/q/k/v, [N, H·C] per layer) are recomputed in the
     # backward instead of stored — trades ~1 extra forward's FLOPs for
@@ -106,6 +110,7 @@ class FlowGNN(nn.Module):
                     concat=False,
                     dropout=cfg.dropout,
                     edge_dim=(graph.edge_feat.shape[1] if cfg.use_edge_attr else None),
+                    fuse_eval=cfg.fuse_eval,
                 )
                 call_args = (not train,)
             layer = conv_cls(**kwargs)

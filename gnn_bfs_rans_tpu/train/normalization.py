@@ -99,13 +99,11 @@ class FieldNormalizer:
         mean = np.zeros(7)
         std = np.ones(7)
         if "U" in self.scalers:
+            # numpy broadcasting handles both per-component ([3]) and shared
+            # (scalar) U stats identically here
             s = self.scalers["U"]
-            if s.get("per_component"):
-                mean[0:3] = s["mean"]
-                std[0:3] = s["std"]
-            else:
-                mean[0:3] = s["mean"]
-                std[0:3] = s["std"]
+            mean[0:3] = s["mean"]
+            std[0:3] = s["std"]
         for i, name in enumerate(("p", "k", "epsilon", "nut"), start=3):
             if name in self.scalers:
                 mean[i] = self.scalers[name]["mean"]

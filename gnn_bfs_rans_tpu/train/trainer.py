@@ -118,12 +118,29 @@ class Trainer:
                 hist_path = self.output_dir / "training_history.json"
                 if hist_path.exists():
                     self.history = json.loads(hist_path.read_text())
+                self._truncate_metrics_jsonl(self.start_epoch)
                 self.log(f"Resumed from {name} at epoch {self.start_epoch}")
 
         n_params = sum(
             int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params)
         )
         self.log(f"Model parameters: {n_params:,}")
+
+    def _truncate_metrics_jsonl(self, start_epoch: int) -> None:
+        """Drop metrics.jsonl rows at/after ``start_epoch`` so a resumed run
+        does not double-append epochs already recorded (the history JSON is
+        reloaded; the JSONL must be truncated to match)."""
+        path = self.output_dir / "metrics.jsonl"
+        if not path.exists():
+            return
+        kept = []
+        for line in path.read_text().splitlines():
+            try:
+                if int(json.loads(line).get("epoch", -1)) < start_epoch:
+                    kept.append(line)
+            except (ValueError, json.JSONDecodeError):
+                kept.append(line)  # keep unparseable lines untouched
+        path.write_text("".join(l + "\n" for l in kept))
 
     # ------------------------------------------------------------------ train
     def train(self) -> dict:

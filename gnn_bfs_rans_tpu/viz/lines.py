@@ -105,6 +105,10 @@ def plot_line_comparison(
         "pressure_ref_range": [float(wp.min()), float(wp.max())],
     }
     log_fn(f"{line_label} Statistics:")
-    log_fn(f"  Velocity MAE: {stats['velocity_mae']:.6e}" if stats["velocity_mae"] is not None else "  (length mismatch)")
-    log_fn(f"  Pressure MAE: {stats['pressure_mae']:.6e}" if stats["pressure_mae"] is not None else "")
+    if stats["velocity_mae"] is not None:
+        log_fn(f"  Velocity MAE: {stats['velocity_mae']:.6e}")
+    else:
+        log_fn("  Velocity MAE: n/a (pred/ref length mismatch)")
+    if stats["pressure_mae"] is not None:
+        log_fn(f"  Pressure MAE: {stats['pressure_mae']:.6e}")
     return stats

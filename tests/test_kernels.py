@@ -815,7 +815,7 @@ class TestFusedProjectionGAT:
         rng = np.random.default_rng(8)
         x = jnp.asarray(rng.normal(size=(g.n_pad, 16)).astype(np.float32))
         mod = TransformerConv(features=16, heads=2, backend="pallas",
-                              dropout=0.0, edge_dim=4)
+                              dropout=0.0, edge_dim=4, fuse_eval=True)
         variables = mod.init(jax.random.PRNGKey(0), x, g)
         out_eval = mod.apply(variables, x, g, True)    # fused path
         out_train = mod.apply(variables, x, g, False)  # unfused

@@ -186,6 +186,12 @@ class TestTrainerEndToEnd:
         hist2 = tr2.train()
         assert hist2["epoch"][-1] == 3
 
+        # metrics.jsonl has exactly one row per epoch after resume (no
+        # double-append of already-recorded epochs)
+        rows = [json.loads(l) for l in
+                (tmp_path / "metrics.jsonl").read_text().splitlines()]
+        assert [r["epoch"] for r in rows] == [1, 2, 3]
+
     def test_predictor_round_trip(self, small_dataset, tmp_path):
         from gnn_bfs_rans_tpu.infer import Predictor
 

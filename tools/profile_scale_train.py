@@ -114,19 +114,25 @@ def main():
         g = dataclasses.replace(
             g, node_feat=g.node_feat + carry.astype(g.node_feat.dtype) * 1e-30)
         out = model.apply(vs, g, train=False)
-        return carry + out[0, 0].astype(carry.dtype) * 1e-30
+        # consume the FULL output — slicing a single element lets XLA prune
+        # the forward via slice pushdown / DCE
+        return carry + jnp.sum(out).astype(carry.dtype) * 1e-30
 
     t = chain_time(fwd_eval_body, jnp.zeros(()), variables, graph)
     results["fwd_eval"] = t
     print(f"fwd_eval      {t*1e3:8.2f} ms", flush=True)
 
     def fwd_train_body(i, carry, vs, g):
-        out, _ = model.apply(
+        out, mutated = model.apply(
             vs, g, train=True,
             rngs={"dropout": jax.random.fold_in(rng, i)},
             mutable=["batch_stats"],
         )
-        return carry + out[0, 0].astype(carry.dtype) * 1e-30
+        # consume the full output AND the mutated BN moments, else XLA can
+        # dead-code-eliminate both the forward and the moment reductions
+        bs_sum = sum(jnp.sum(leaf).astype(carry.dtype)
+                     for leaf in jax.tree_util.tree_leaves(mutated["batch_stats"]))
+        return carry + (jnp.sum(out).astype(carry.dtype) + bs_sum) * 1e-30
 
     t = chain_time(fwd_train_body, jnp.zeros(()), variables, graph)
     results["fwd_train"] = t
@@ -168,6 +174,8 @@ def main():
             print(f"grad_{name:13s}{t*1e3:8.2f} ms", flush=True)
         except Exception as e:  # noqa: BLE001 — OOM variants are expected
             results[f"grad_{name}"] = None
+            # keep the artifact schema stable: record the skipped step too
+            results[f"step_{name}"] = None
             print(f"grad_{name}: FAILED ({type(e).__name__})", flush=True)
             continue
 
