@@ -275,13 +275,33 @@ def load_torch_checkpoint(path: str) -> tuple[dict, dict, ModelConfig, FieldNorm
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     cfg_dict = ckpt.get("config", {})
+    sd = {k: v.detach().cpu().numpy() for k, v in ckpt["model_state_dict"].items()}
+
+    layer_type = cfg_dict.get("layer_type", "GCN")
+    hidden = int(cfg_dict.get("hidden_dim", 256))
+    # architecture facts not present in the reference's config dict
+    # (vars(args), train.py:300) are inferred from the weights themselves:
+    input_dim = int(sd["input_proj.weight"].shape[1])
+    output_dim = int(sd["output_proj.8.weight"].shape[0])
+    heads = 4
+    if "gnn_layers.0.att_src" in sd:
+        heads = int(sd["gnn_layers.0.att_src"].shape[1])
+    elif "gnn_layers.0.lin_query.weight" in sd:
+        heads = int(sd["gnn_layers.0.lin_query.weight"].shape[0]) // hidden
+    # the reference constructs TransformerConv WITHOUT edge_dim (quirk 3), so
+    # lin_edge is absent from real reference checkpoints — the ported model
+    # must not expect edge conditioning then
+    use_edge_attr = "gnn_layers.0.lin_edge.weight" in sd
     config = ModelConfig(
-        hidden_dim=int(cfg_dict.get("hidden_dim", 256)),
+        input_dim=input_dim,
+        hidden_dim=hidden,
+        output_dim=output_dim,
         num_layers=int(cfg_dict.get("num_layers", 6)),
-        layer_type=cfg_dict.get("layer_type", "GCN"),
+        layer_type=layer_type,
+        heads=heads,
+        use_edge_attr=use_edge_attr,
         dropout=0.0,
     )
-    sd = {k: v.detach().cpu().numpy() for k, v in ckpt["model_state_dict"].items()}
     params, batch_stats = convert_state_dict(sd, config)
 
     normalizer = None
