@@ -276,6 +276,22 @@ def cmd_check_coordinates(args) -> int:
 def cmd_bench(args) -> int:
     from ..utils.bench import run_benchmark
 
+    if args.mode == "dp":
+        from ..utils.dp_bench import run_dp_scaling_benchmark
+
+        result = run_dp_scaling_benchmark(
+            n_devices=args.devices,
+            case_path=args.case_path,
+            layer_type=args.layer_type,
+            num_layers=args.num_layers,
+            hidden_dim=args.hidden_dim,
+            backend=args.backend,
+            compute_dtype=args.compute_dtype,
+            steps=args.steps,
+        )
+        print(json.dumps(result))
+        return 0
+
     if args.synthetic:
         from ..utils.synthetic import run_scale_benchmark
 
@@ -302,6 +318,38 @@ def cmd_bench(args) -> int:
         compute_dtype=args.compute_dtype,
     )
     print(json.dumps(result))
+    return 0
+
+
+def cmd_train_multitopo(args) -> int:
+    """Bucketed training over cases with DIFFERENT mesh topologies.
+
+    The reference's ``Batch.from_data_list`` could batch arbitrary graphs in
+    one step; the TPU equivalent routes each case to a padding bucket and
+    compiles one step per bucket shape (see train.multitopo).
+    """
+    from ..models.flow_gnn import ModelConfig
+    from ..train.loop import TrainConfig
+    from ..train.multitopo import MultiTopoTrainer, load_multitopo_dataset
+
+    dataset = load_multitopo_dataset(
+        args.case_paths,
+        time_dir=args.time_dir,
+        node_align=args.node_align,
+        edge_align=args.edge_align,
+    )
+    mcfg = ModelConfig(
+        hidden_dim=args.hidden_dim,
+        num_layers=args.num_layers,
+        layer_type=args.layer_type,
+        dropout=args.dropout,
+        norm_type=args.norm_type,
+        backend=args.backend,
+    )
+    tcfg = TrainConfig(lr=args.lr, epochs=args.epochs, seed=args.seed)
+    trainer = MultiTopoTrainer(dataset, mcfg, tcfg, output_dir=args.output_dir)
+    trainer.train()
+    print("Multi-topology training completed!")
     return 0
 
 
@@ -520,6 +568,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=0)
     p.set_defaults(func=cmd_train_multicase)
 
+    p = sub.add_parser(
+        "train-multitopo",
+        help="Bucketed training over cases with different mesh topologies",
+    )
+    p.add_argument("--case_paths", type=str, nargs="+", required=True,
+                   help="OpenFOAM case dirs; meshes may differ arbitrarily "
+                        "(similar sizes share a padding bucket + executable)")
+    p.add_argument("--time_dir", type=str, default="282")
+    p.add_argument("--output_dir", type=str, default="multitopo_out")
+    p.add_argument("--node_align", type=int, default=512,
+                   help="Node-padding bucket granularity")
+    p.add_argument("--edge_align", type=int, default=2048,
+                   help="Edge-padding bucket granularity")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--num_layers", type=int, default=3)
+    p.add_argument("--layer_type", type=str, default="GCN",
+                   choices=["GCN", "GAT", "GIN", "Transformer"])
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--norm_type", type=str, default="layer",
+                   choices=["batch", "layer", "none"])
+    p.add_argument("--backend", type=str, default="dense",
+                   choices=["segment", "dense", "pallas"])
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=cmd_train_multitopo)
+
     p = sub.add_parser("bench", help="Performance benchmark")
     _add_case_arg(p, default="/root/reference/OpenFOAM-data")
     p.add_argument("--layer_type", type=str, default="GAT")
@@ -530,7 +605,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--mode", type=str, default="forward",
-                   choices=["forward", "train"])
+                   choices=["forward", "train", "dp"])
+    p.add_argument("--devices", type=int, default=None,
+                   help="mode=dp: data-mesh size N (default: all visible; "
+                        "use XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=N JAX_PLATFORMS=cpu for a virtual mesh)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="Benchmark a synthetic quad-grid of ~N cells instead")
     p.set_defaults(func=cmd_bench)

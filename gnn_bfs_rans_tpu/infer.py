@@ -92,6 +92,18 @@ class Predictor:
 
     def _run_forward(self, graph: Graph):
         if self.aot_dir is None:
+            # Mosaic compile failures (over-budget group pick on an untested
+            # shape) recover via group-cap retry → dense fallback
+            from .kernels.fallback import GroupFallback
+
+            if not isinstance(self._forward, GroupFallback):
+                model = self.model
+                self._forward = GroupFallback(
+                    lambda: make_forward(model),
+                    dense_build=lambda: make_forward(FlowGNN(
+                        dataclasses.replace(model.config, backend="dense"))),
+                    name="predictor forward",
+                )
             return self._forward(self.params, self.batch_stats, graph)
         # the compiled executable is specialized to one graph shape — rebuild
         # (from the disk cache when possible) if the shape changes

@@ -101,6 +101,21 @@ def _clamped_window_specs(window: int, tile: int, feat: int, n_tiles: int,
 # f32 softmax scratch, so budget conservatively.
 _GROUP_VMEM_BUDGET = 13 * 2 ** 20
 
+# Process-wide cap on the receiver-tile group, lowered at runtime by
+# kernels.fallback.GroupFallback when a Mosaic compile fails (the VMEM
+# estimate is hand-tuned; this is the recovery valve).
+_MAX_GROUP_CAP = 16
+
+
+def set_max_group_cap(cap: int) -> None:
+    """Lower (or reset) the process-wide group cap — see kernels.fallback."""
+    global _MAX_GROUP_CAP
+    _MAX_GROUP_CAP = int(cap)
+
+
+def current_max_group_cap() -> int:
+    return _MAX_GROUP_CAP
+
 
 def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
                   extra_out_bytes_per_tile: int = 0,
@@ -130,6 +145,7 @@ def _choose_group(n_tiles: int, window: int, tile: int, feat_bytes: int,
     """
     if scratch_bytes_per_tile > 0:
         max_group = min(max_group, 8)
+    max_group = min(max_group, _MAX_GROUP_CAP)
     sub = tile if sub is None else sub
     r = tile // sub
     for g in (16, 8, 4, 2, 1):

@@ -76,7 +76,7 @@ def replicate(tree, mesh: Mesh):
 
 
 def make_dp_train_step(
-    model: FlowGNN, cfg: TrainConfig, mesh: Mesh
+    model: FlowGNN, cfg: TrainConfig, mesh: Mesh, jit: bool = True
 ) -> Callable:
     """A fully-jitted DP train step: shard_map over the data axis.
 
@@ -84,6 +84,8 @@ def make_dp_train_step(
     ``(state, graph, targets, weights, lr, rng, freeze_pressure) ->
     (state, loss)`` with ``targets``/``weights`` sharded ``P('data')``
     (from :func:`shard_targets`) and everything else replicated.
+    ``jit=False`` returns the raw traceable body (for embedding in a larger
+    jitted computation, e.g. the chained DP-scaling timing harness).
     """
     tx = make_optimizer(cfg)
 
@@ -121,7 +123,6 @@ def make_dp_train_step(
         # identical on every shard already (exact sync-BN for free).
         return loss, grads, new_bs
 
-    @partial(jax.jit, static_argnames=("freeze_pressure",), donate_argnums=(0,))
     def dp_train_step(
         state: TrainState,
         graph: Graph,
@@ -154,6 +155,10 @@ def make_dp_train_step(
         )
         return new_state, loss
 
+    if jit:
+        return partial(
+            jax.jit, static_argnames=("freeze_pressure",), donate_argnums=(0,)
+        )(dp_train_step)
     return dp_train_step
 
 

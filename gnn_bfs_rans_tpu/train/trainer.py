@@ -77,8 +77,27 @@ class Trainer:
         self.graph = dataset.graph.to_device()
         self.targets = jnp.asarray(dataset.targets)
 
-        self.train_step = make_train_step(self.model, train_config)
-        self.eval_step = make_eval_step(self.model, train_config)
+        # Jitted steps wrapped for Mosaic compile-failure recovery: a wrong
+        # VMEM group pick retries at smaller group caps, then falls back to
+        # the dense backend (kernels.fallback; parameter trees are
+        # backend-independent so training state carries over).
+        from ..kernels.fallback import GroupFallback
+
+        def _dense_model() -> FlowGNN:
+            import dataclasses as _dc
+
+            return FlowGNN(_dc.replace(model_config, backend="dense"))
+
+        self.train_step = GroupFallback(
+            lambda: make_train_step(self.model, train_config),
+            dense_build=lambda: make_train_step(_dense_model(), train_config),
+            log=log_fn, name="train step",
+        )
+        self.eval_step = GroupFallback(
+            lambda: make_eval_step(self.model, train_config),
+            dense_build=lambda: make_eval_step(_dense_model(), train_config),
+            log=log_fn, name="eval step",
+        )
 
         # PRNG impl per TrainConfig.rng_impl ('auto' → rbg on TPU for speed,
         # threefry elsewhere; see the config field for the reproducibility
@@ -102,8 +121,16 @@ class Trainer:
 
     # ------------------------------------------------------------------ setup
     def initialize(self, resume: bool = False) -> None:
+        from ..kernels.fallback import run_with_group_retry
+
         self.rng, init_rng = jax.random.split(self.rng)
-        self.state = init_state(self.model, self.graph, self.config, init_rng)
+        # model.init runs kernels eagerly — give it the same Mosaic recovery
+        # as the wrapped steps (param trees are backend-independent, so a
+        # dense-backend init yields identical parameters)
+        self.state = run_with_group_retry(
+            lambda: init_state(self.model, self.graph, self.config, init_rng),
+            log=self.log, name="parameter init",
+        )
         if resume:
             name = latest_checkpoint(self.output_dir)
             if name is not None:
@@ -284,7 +311,12 @@ class Trainer:
         """
         cfg = self.config
         n = self.dataset.n_snapshots
-        block_fn = make_epoch_block(self.model, cfg, n)
+        from ..kernels.fallback import GroupFallback
+
+        block_fn = GroupFallback(
+            lambda: make_epoch_block(self.model, cfg, n),
+            log=self.log, name="epoch block",
+        )
         self.rng, loop_rng = jax.random.split(self.rng)
         carry = init_epoch_block_carry(self.state, self.scheduler.lr, loop_rng)
         # resume support: seed the on-device scheduler with host state

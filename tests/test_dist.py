@@ -176,3 +176,21 @@ def test_graft_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_dp_scaling_harness_schema():
+    """The ≥90% BASELINE row is one command when hardware appears: the
+    harness must run on the virtual mesh and emit the efficiency schema.
+    (Virtual CPU devices share host cores, so the measured ratio here is an
+    overhead bound, not a pass/fail efficiency — the artifact notes this.)"""
+    from gnn_bfs_rans_tpu.utils.dp_bench import run_dp_scaling_benchmark
+
+    result = run_dp_scaling_benchmark(
+        n_devices=4, hidden_dim=16, num_layers=1, snapshots_per_device=1,
+        steps=4,
+    )
+    assert result["metric"] == "dp_scaling_efficiency"
+    assert result["n_devices"] == 4
+    assert 0 < result["value"] <= 1.5  # ratio, not msgs/s
+    assert result["step_s_1dev"] > 0 and result["step_s_ndev"] > 0
+    assert "virtual CPU" in result["note"]
