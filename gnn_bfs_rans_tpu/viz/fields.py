@@ -76,6 +76,70 @@ def normalized_error(
     return err, stats
 
 
+def plot_field_2d_legacy(
+    cell_centers: np.ndarray,
+    field_values: np.ndarray,
+    field_name: str,
+    title: str,
+    levels: int = 20,
+    cmap: str = "viridis",
+    output_path: str | Path | None = None,
+    grid_res: int = 200,
+):
+    """Legacy grid-interpolated contour plot.
+
+    Port of the pre-triangulation variant ``/root/reference/visualize.py:84-161``
+    (``create_2d_contour_plot``): vector fields collapse to magnitude, values
+    are linearly ``griddata``-interpolated onto a ``grid_res × grid_res``
+    regular grid, pressure gets a symmetric two-slope colormap normalization,
+    and cell centers are overlaid as a faint scatter.  The tricontourf
+    pipeline (:func:`compare_fields`) superseded this in the reference too —
+    kept for full API parity.  Returns ``(fig, ax)``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import TwoSlopeNorm
+    from scipy.interpolate import griddata
+
+    cc = np.asarray(cell_centers)
+    x, y = cc[:, 0], cc[:, 1]
+    vals = field_magnitude(field_values)
+
+    xi = np.linspace(x.min(), x.max(), grid_res)
+    yi = np.linspace(y.min(), y.max(), grid_res)
+    grid_x, grid_y = np.meshgrid(xi, yi)
+    grid_v = griddata((x, y), vals, (grid_x, grid_y), method="linear",
+                      fill_value=np.nan)
+
+    fig, ax = plt.subplots(figsize=(12, 8))
+    if field_name == "p":
+        vmin, vmax = float(vals.min()), float(vals.max())
+        vcenter = (vmin + vmax) / 2
+        if vmin < vcenter < vmax:
+            norm = TwoSlopeNorm(vmin=vmin, vcenter=vcenter, vmax=vmax)
+            contour = ax.contourf(grid_x, grid_y, grid_v, levels=levels,
+                                  cmap=cmap, norm=norm)
+        else:  # degenerate (constant field): plain normalization
+            contour = ax.contourf(grid_x, grid_y, grid_v, levels=levels,
+                                  cmap=cmap)
+    else:
+        contour = ax.contourf(grid_x, grid_y, grid_v, levels=levels, cmap=cmap)
+    cbar = fig.colorbar(contour, ax=ax)
+    cbar.set_label(field_name, fontsize=12)
+    ax.scatter(x, y, c="k", s=0.1, alpha=0.3)
+    ax.set_xlabel("X [m]", fontsize=12)
+    ax.set_ylabel("Y [m]", fontsize=12)
+    ax.set_title(title, fontsize=14, fontweight="bold")
+    ax.set_aspect("equal")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    if output_path is not None:
+        fig.savefig(output_path, dpi=300, bbox_inches="tight")
+    return fig, ax
+
+
 def compare_fields(
     predicted_fields: dict[str, np.ndarray],
     reference_fields: dict[str, np.ndarray],

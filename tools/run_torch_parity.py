@@ -26,7 +26,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# parity math is backend-independent; CPU avoids tunnel latency for 10 tiny runs
+# Parity math is backend-independent; run on CPU so the tool never depends
+# on the TPU tunnel.  The image's sitecustomize registers the axon PJRT
+# plugin at interpreter start, so re-exec with a clean environment.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS")
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
