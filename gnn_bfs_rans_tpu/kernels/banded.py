@@ -534,9 +534,16 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
     r = tile // sub
     span = group * r + window - r
     k0 = (window - r) // 2
+    k_all = v_all = None
     if fuse_proj:
         # no-grad path: q/k/v projected in VMEM from node features (see
-        # banded_gat_mean_fused) — the [N, HC] q/k/v arrays never hit HBM
+        # banded_gat_mean_fused) — the [N, HC] q/k/v arrays never hit HBM.
+        # PIPELINED variant (round-3): the span sender blocks concatenate
+        # into ONE [span·sub, F] plane and each of k/v projects with a
+        # single fat MXU matmul; per-group windows then become contiguous
+        # SLICES of the projected plane (no per-group concatenates at all).
+        # The round-2 variant ran span small [sub, F] matmuls per matrix
+        # (~20 serialized per grid step) and measured slower than unfused.
         wq_ref, wk_ref, wv_ref = refs[i:i + 3]; i += 3   # [F, HC]
         bq_ref, bk_ref, bv_ref = refs[i:i + 3]; i += 3   # [1, HC]
         xq_ref = refs[i]; i += 1                         # [G·T, F] direct
@@ -544,18 +551,14 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
         dtp = wq_ref.dtype
         if geo:
             wblk_ref = refs[i]; i += 1                   # [HC, H*4]
-        ks = [
-            (jnp.dot(xs[k][:], wk_ref[:],
-                     preferred_element_type=jnp.float32)
-             + bk_ref[0]).astype(dtp)
-            for k in range(span)
-        ]
-        vs = [
-            (jnp.dot(xs[k][:], wv_ref[:],
-                     preferred_element_type=jnp.float32)
-             + bv_ref[0]).astype(dtp)
-            for k in range(span)
-        ]
+        x_all = jnp.concatenate([xs[k][:] for k in range(span)], axis=0)
+        k_all = (jnp.dot(x_all, wk_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + bk_ref[0]).astype(dtp)                # [span·sub, HC]
+        v_all = (jnp.dot(x_all, wv_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + bv_ref[0]).astype(dtp)
+        ks = vs = (k_all,)  # dtype carrier; windows slice k_all/v_all below
         q_ref = (jnp.dot(xq_ref[:], wq_ref[:],
                          preferred_element_type=jnp.float32)
                  + bq_ref[0]).astype(dtp)                # [G·T, HC]
@@ -589,10 +592,15 @@ def _transformer_kernel(*refs, window, heads, scale, edge_dim, group, sub,
         bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
         # windowed k/v concatenated once per receiver tile: the per-head
         # logit and value matmuls then run at full [*, Wcols] contraction
-        kcat = jnp.concatenate(
-            [ks[g * r + k] for k in range(window)], axis=0)  # [Wcols, HC]
-        vcat = jnp.concatenate(
-            [vs[g * r + k] for k in range(window)], axis=0)
+        if fuse_proj:
+            # contiguous slices of the once-projected plane (see above)
+            kcat = k_all[g * r * sub:(g * r + window) * sub]
+            vcat = v_all[g * r * sub:(g * r + window) * sub]
+        else:
+            kcat = jnp.concatenate(
+                [ks[g * r + k] for k in range(window)], axis=0)  # [Wcols, HC]
+            vcat = jnp.concatenate(
+                [vs[g * r + k] for k in range(window)], axis=0)
         if geo:
             dist_cat = feat_ref[g, 0]                            # [T, Wcols]
             invd_cat = feat_ref[g, 1]
@@ -864,16 +872,19 @@ def _gatm_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
 banded_gat_mean.defvjp(_gatm_vjp_fwd, _gatm_vjp_bwd)
 
 
-def banded_gat_mean_fused(bias_self, w, x, alpha_src, alpha_dst, heads,
-                          negative_slope=0.2):
+def banded_gat_mean_fused_fwd(bias_self, w, x, alpha_src, alpha_dst, heads,
+                              negative_slope=0.2, dropout_rate=0.0,
+                              seed=None):
     """``banded_gat_mean`` with the z-projection fused into the kernel.
 
     ``w`` is the GAT linear kernel [F, H·C]; sender blocks project to
     z = x·W inside VMEM (once per grid step, shared across the group), so
     the [N, H·C] z array never exists in HBM — removing its write+read
     round trip and the separate projection dispatch from the forward.
-    No-grad inference/eval path only (no dropout, no custom VJP — training
-    keeps the unfused call whose backward reuses z as a residual).
+    Supports in-kernel attention dropout (training path); gradients route
+    through :func:`banded_gat_mean_fused`'s custom VJP, which RE-projects z
+    in the backward instead of storing it (one extra [N,F]@[F,HC] matmul vs
+    a full z HBM round trip saved in the forward).
     """
     n_tiles, tile, width = bias_self.shape
     sub = tile // 2
@@ -894,12 +905,14 @@ def banded_gat_mean_fused(bias_self, w, x, alpha_src, alpha_dst, heads,
     kernel = functools.partial(
         _gat_kernel, window=w_sub, heads=heads,
         negative_slope=negative_slope, group=group, sub=sub,
-        mean_heads=True, fuse_proj=True,
+        dropout_rate=dropout_rate, mean_heads=True, fuse_proj=True,
     )
+    seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles // group,),
         in_specs=[
+            *seed_specs,
             pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f, hc), lambda i: (0, 0),
@@ -919,7 +932,58 @@ def banded_gat_mean_fused(bias_self, w, x, alpha_src, alpha_dst, heads,
             transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
-    )(bias_self, w, *([alpha_src] * span), alpha_dst, *([x] * span))
+    )(*seed_in, bias_self, w, *([alpha_src] * span), alpha_dst,
+      *([x] * span))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def banded_gat_mean_fused(bias_self, w, x, alpha_src, alpha_dst, heads,
+                          negative_slope=0.2, dropout_rate=0.0, seed=None):
+    """Differentiable fused-projection GAT (head-mean epilogue).
+
+    Forward: :func:`banded_gat_mean_fused_fwd` (z projected in VMEM).
+    Backward: z is RE-projected with the numerically identical matmul (f32
+    accumulate, cast to the primal dtype) and fed to the standard fused GAT
+    backward kernel; dx/dw are the two projection matmuls.  Net effect vs
+    the unfused path: the forward saves z's HBM write+read, the backward
+    pays one extra [N, F] @ [F, H·C] projection (ROADMAP r2 item 3 — the
+    measured A/B decides which path the flagship config uses).
+    """
+    return banded_gat_mean_fused_fwd(
+        bias_self, w, x, alpha_src, alpha_dst, heads, negative_slope,
+        dropout_rate, seed,
+    )
+
+
+def _gatmf_vjp_fwd(bias_self, w, x, alpha_src, alpha_dst, heads,
+                   negative_slope, dropout_rate, seed):
+    out = banded_gat_mean_fused_fwd(
+        bias_self, w, x, alpha_src, alpha_dst, heads, negative_slope,
+        dropout_rate, seed,
+    )
+    return out, (bias_self, w, x, alpha_src, alpha_dst, seed)
+
+
+def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
+    from .banded_bwd import banded_gat_bwd
+
+    bias_self, w, x, alpha_src, alpha_dst, seed = res
+    # re-project exactly as the in-kernel projection does (f32 accumulate →
+    # primal dtype) so the attention recompute in the backward kernel sees
+    # bit-identical z
+    z = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(w.dtype)
+    dz, ds, dd = banded_gat_bwd(
+        bias_self, z, alpha_src, alpha_dst, g.astype(z.dtype), heads,
+        negative_slope, dropout_rate=dropout_rate, seed=seed,
+        mean_expand=True,
+    )
+    dx = jnp.dot(dz, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jnp.dot(x.T, dz, preferred_element_type=jnp.float32).astype(w.dtype)
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return _zero_cot(bias_self), dw, dx, ds, dd, dseed
+
+
+banded_gat_mean_fused.defvjp(_gatmf_vjp_fwd, _gatmf_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

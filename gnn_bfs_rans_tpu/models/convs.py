@@ -113,6 +113,10 @@ class GATConv(nn.Module):
     dropout: float = 0.0
     backend: Backend = "dense"
     dtype: Any = None
+    # opt-in: use the fused-projection kernel for TRAINING too (backward
+    # re-projects z via the custom VJP instead of storing it) — A/B measured,
+    # see ModelConfig.fuse_train
+    fuse_train: bool = False
 
     @nn.compact
     def __call__(
@@ -126,7 +130,7 @@ class GATConv(nn.Module):
         # separate projection whose z is a backward residual.  The α logits
         # factor through W (α = x·(W·amat)), so z2d is never needed outside.
         fuse = (
-            deterministic
+            (deterministic or self.fuse_train)
             and not self.concat
             and self.backend == "pallas"
             and graph.band is not None
@@ -157,9 +161,13 @@ class GATConv(nn.Module):
                 x, (w.astype(jnp.float32) @ amat).astype(x.dtype),
                 preferred_element_type=jnp.float32,
             )  # [N, 2H]
+            rate, seed = 0.0, None
+            if self.dropout > 0 and not deterministic:
+                rate = self.dropout
+                seed = _dropout_seed(self.make_rng("dropout"))
             out2d = banded_gat_mean_fused(
                 graph.band.bias_self, w, x, alphas[:, :H], alphas[:, H:],
-                H, self.negative_slope,
+                H, self.negative_slope, rate, seed,
             )
             bias = self.param("bias", nn.initializers.zeros, (C,))
             return out2d + bias
@@ -413,10 +421,14 @@ class TransformerConv(nn.Module):
             if graph.band.geo is not None:
                 # NOTE: the fused-projection eval path
                 # (banded_transformer_geo_mean_fused, parity-tested) measured
-                # SLOWER than unfused here (1.64 vs 1.11 ms fwd — the ~20
-                # serialized in-kernel block projections of 3 matrices don't
-                # overlap the way GAT's single W does), so it is opt-in via
-                # ModelConfig.fuse_eval pending a pipelined variant (ROADMAP).
+                # SLOWER than unfused even after the round-3 pipelining (one
+                # fat [span·sub, F]@[F, HC] matmul per q/k/v matrix, windows
+                # as slices): 1.62 vs 1.46 ms fwd, same-session A/B
+                # (artifacts/tr_fuse_ab.json).  Three serialized projections
+                # at the head of each grid step stall the window pipeline in
+                # a way GAT's single W does not.  Stays opt-in via
+                # ModelConfig.fuse_eval; measured negative — don't revisit
+                # without a second input stream to overlap the projections.
                 if self.fuse_eval and deterministic and not self.concat:
                     # fused-projection inference path (see GATConv): q/k/v
                     # project inside the kernel, never touching HBM.  The

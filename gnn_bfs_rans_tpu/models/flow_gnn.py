@@ -58,6 +58,11 @@ class ModelConfig:
     # (q/k/v projected inside the Pallas kernel).  Off by default: measured
     # slower than the unfused path on the BFS mesh (see models/convs.py NOTE).
     fuse_eval: bool = False
+    # Fused-projection GAT kernel in TRAINING too: z never round-trips HBM
+    # in the forward; the custom VJP re-projects it for the backward.
+    # Default ON: measured 3.71 → 3.16 ms/step (1.17×) on the flagship GAT
+    # train config (tools/profile_fuse_train.py, artifacts/fuse_train_ab.json).
+    fuse_train: bool = True
     # Rematerialize each conv under jax.checkpoint: activations inside the
     # conv (projections z/q/k/v, [N, H·C] per layer) are recomputed in the
     # backward instead of stored — trades ~1 extra forward's FLOPs for
@@ -102,7 +107,8 @@ class FlowGNN(nn.Module):
             )
             call_args: tuple = ()
             if cfg.layer_type == "GAT":
-                kwargs.update(heads=cfg.heads, concat=False, dropout=cfg.dropout)
+                kwargs.update(heads=cfg.heads, concat=False,
+                              dropout=cfg.dropout, fuse_train=cfg.fuse_train)
                 call_args = (not train,)
             elif cfg.layer_type == "Transformer":
                 kwargs.update(

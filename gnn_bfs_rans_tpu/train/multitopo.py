@@ -173,6 +173,7 @@ class MultiTopoTrainer:
             min_lr=train_config.plateau_min_lr,
         )
         self.state = None
+        self._best_val = float("inf")
         self.history = {"epoch": [], "train_loss": [], "val_loss": [],
                         "learning_rate": [], "per_case_loss": []}
 
@@ -230,10 +231,27 @@ class MultiTopoTrainer:
                 f"Epoch {epoch}: train={train_loss:.6f} val={val_loss:.6f} "
                 f"lr={lr_used:.3e} ({dt:.2f}s)"
             )
+            if val_loss < self._best_val:
+                self._best_val = val_loss
+                self._save_checkpoint("best", epoch, val_loss)
+        self._save_checkpoint(f"epoch_{cfg.epochs}", cfg.epochs,
+                              self.history["val_loss"][-1])
         (self.output_dir / "training_history.json").write_text(
             json.dumps(self.history)
         )
         return self.history
+
+    def _save_checkpoint(self, name: str, epoch: int, val_loss: float) -> None:
+        """Predictor-compatible checkpoint (same layout as Trainer._save)."""
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(
+            self.output_dir, name, self.state,
+            epoch=epoch, val_loss=val_loss,
+            model_config=self.model_config, train_config=self.config,
+            normalizer=self.dataset.normalizer,
+            extra={"multitopo_cases": [c.name for c in self.dataset.cases]},
+        )
 
     def predict_case(self, case_index: int) -> np.ndarray:
         """Normalized predictions for one case in ORIGINAL cell order."""

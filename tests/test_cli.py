@@ -128,3 +128,24 @@ def test_export_torch(tmp_path, capsys):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-5, atol=1e-6)
     assert norm is not None and "U" in norm.scalers
+
+
+def test_train_multitopo_cli(tmp_path, capsys):
+    """Bucketed multi-topology training end to end through the CLI."""
+    from gnn_bfs_rans_tpu.foam.casegen import generate_box_case
+
+    a, b = tmp_path / "case_a", tmp_path / "case_b"
+    generate_box_case(a, 4, 4, 3, time_dirs=("282",))
+    generate_box_case(b, 8, 6, 4, time_dirs=("282",))
+    out = tmp_path / "mt_out"
+    rc = main([
+        "train-multitopo", "--case_paths", str(a), str(b),
+        "--output_dir", str(out), "--epochs", "3",
+        "--hidden_dim", "16", "--num_layers", "1",
+        "--node_align", "128", "--edge_align", "512",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "2 bucket(s)" in text
+    assert (out / "training_history.json").exists()
+    assert (out / "best").exists()

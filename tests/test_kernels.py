@@ -805,6 +805,90 @@ class TestFusedProjectionGAT:
                                    np.asarray(out_train),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_fused_gradients_match_unfused(self):
+        """The trainable fused path (custom VJP re-projects z) must produce
+        the same gradients as projecting outside + banded_gat_mean."""
+        from gnn_bfs_rans_tpu.kernels.banded import (
+            banded_gat_mean,
+            banded_gat_mean_fused,
+        )
+
+        g = _band_graph(width=16)
+        rng = np.random.default_rng(7)
+        H, C, F = 2, 8, 16
+        x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(F, H * C)).astype(np.float32)) * 0.3
+        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+
+        def loss_unfused(w_, x_, a_s_, a_d_):
+            z = jnp.dot(x_, w_, preferred_element_type=jnp.float32)
+            out = banded_gat_mean(g.band.bias_self, z, a_s_, a_d_, H, 0.2,
+                                  0.0, None)
+            return jnp.sum(out * out)
+
+        def loss_fused(w_, x_, a_s_, a_d_):
+            out = banded_gat_mean_fused(g.band.bias_self, w_, x_, a_s_, a_d_,
+                                        H, 0.2, 0.0, None)
+            return jnp.sum(out * out)
+
+        g1 = jax.grad(loss_unfused, argnums=(0, 1, 2, 3))(w, x, a_s, a_d)
+        g2 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(w, x, a_s, a_d)
+        for a, b, name in zip(g1, g2, ("dw", "dx", "da_src", "da_dst")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
+    def test_fused_train_conv_matches_unfused_grads(self):
+        """GATConv(fuse_train=True) train-mode value AND grads == unfused."""
+        from gnn_bfs_rans_tpu.models.convs import GATConv
+
+        g = _band_graph(width=16)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(g.n_pad, 16)).astype(np.float32))
+        base = GATConv(features=16, heads=2, backend="pallas", dropout=0.0)
+        fused = GATConv(features=16, heads=2, backend="pallas", dropout=0.0,
+                        fuse_train=True)
+        variables = base.init(jax.random.PRNGKey(0), x, g)
+
+        def loss(mod, params, x_):
+            out = mod.apply({"params": params}, x_, g, False)  # train mode
+            return jnp.sum(out * out)
+
+        l1, g1 = jax.value_and_grad(lambda p: loss(base, p, x))(
+            variables["params"])
+        l2, g2 = jax.value_and_grad(lambda p: loss(fused, p, x))(
+            variables["params"])
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+        flat2 = dict(jax.tree_util.tree_flatten_with_path(g2)[0])
+        for path, leaf in flat1:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat2[path]),
+                rtol=2e-4, atol=2e-4, err_msg=str(path))
+
+    def test_fused_train_dropout_matches_unfused_stream(self):
+        """In-kernel dropout seeds per receiver tile: fused and unfused
+        kernels replay the same mask for the same seed."""
+        from gnn_bfs_rans_tpu.kernels.banded import (
+            banded_gat_mean,
+            banded_gat_mean_fused,
+        )
+
+        g = _band_graph(width=16)
+        rng = np.random.default_rng(9)
+        H, C, F = 2, 8, 16
+        x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(F, H * C)).astype(np.float32)) * 0.3
+        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        seed = jnp.asarray([1234], jnp.int32)
+        z = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        ref = banded_gat_mean(g.band.bias_self, z, a_s, a_d, H, 0.2, 0.3, seed)
+        got = banded_gat_mean_fused(g.band.bias_self, w, x, a_s, a_d, H,
+                                    0.2, 0.3, seed)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_transformer_conv_eval_fused_matches_train_forward(self):
         """TransformerConv eval (fused q/k/v projections) == train forward."""
         from gnn_bfs_rans_tpu.models.convs import TransformerConv

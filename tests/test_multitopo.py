@@ -92,6 +92,15 @@ class TestMultiTopoTraining:
         assert p1.shape == (192, 7)
         assert np.isfinite(p0).all() and np.isfinite(p1).all()
 
+        # checkpoints are Predictor-compatible: load 'best' and forward one
+        # of the heterogeneous graphs through it
+        from gnn_bfs_rans_tpu.infer import Predictor
+
+        pred = Predictor.from_checkpoint(tmp_path, "best", aot=False)
+        fields = pred.predict_fields(ds.cases[1].graph)
+        assert fields["U"].shape[1] == 3
+        assert np.isfinite(fields["U"]).all()
+
     def test_bucket_sharing_avoids_recompiles(self, two_meshes, tmp_path):
         """Same-bucket cases must reuse one executable: the jitted step's
         cache grows by one entry per BUCKET, not per case."""

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -46,15 +47,21 @@ def chain_time(body, state0, *operands, reps=8, base=2, trials=3):
     def chain(s0, k, *ops):
         return jax.lax.fori_loop(0, k, lambda i, c: body(i, c, *ops), s0)
 
+    def fence(out):
+        # device_get of one scalar: on this tunneled runtime
+        # jax.block_until_ready can return before compute finishes (it
+        # measured the 65 ms 1M-cell forward at 3.8 µs in round 2) — only a
+        # host FETCH actually fences (utils.bench methodology).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
     def best(k):
         kk = jnp.asarray(k, jnp.int32)
-        out = chain(state0, kk, *operands)
-        jax.block_until_ready(out)
+        fence(chain(state0, kk, *operands))
         b = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            out = chain(state0, kk, *operands)
-            jax.block_until_ready(out)
+            fence(chain(state0, kk, *operands))
             b = min(b, time.perf_counter() - t0)
         return b
 
@@ -161,8 +168,16 @@ def main():
             return loss, mutated["batch_stats"]
 
         def grad_body(i, carry, s, g, tgt, _loss_fn=loss_fn):
+            # perturb ONE parameter leaf by the carry: without this the body
+            # is loop-invariant (state never updates in a grad-only chain;
+            # at dropout 0 even the PRNG key is dead) and XLA can hoist or
+            # share the whole grad computation across iterations
+            params = dict(s.params)
+            ip = dict(params["input_proj"])
+            ip["kernel"] = ip["kernel"] + carry.astype(ip["kernel"].dtype) * 1e-30
+            params["input_proj"] = ip
             (loss, _), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-                s.params, s.batch_stats, jax.random.fold_in(rng, i), g, tgt)
+                params, s.batch_stats, jax.random.fold_in(rng, i), g, tgt)
             # consume EVERY gradient leaf — reading a single leaf lets XLA
             # dead-code-eliminate the other parameter-gradient matmuls
             gnorm = optax.global_norm(grads)
