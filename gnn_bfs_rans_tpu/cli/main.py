@@ -66,7 +66,8 @@ def cmd_train(args) -> int:
         scheduler=args.scheduler,
         epoch_block=args.epoch_block,
     )
-    trainer = Trainer(dataset, mcfg, tcfg, output_dir=out_dir)
+    trainer = Trainer(dataset, mcfg, tcfg, output_dir=out_dir,
+                      progress=getattr(args, "progress", False))
     trainer.initialize(resume=args.resume)
     trainer.train()
     print("Training completed!")
@@ -81,7 +82,8 @@ def cmd_infer(args) -> int:
 
     print(f"Loading model from {args.checkpoint}...")
     predictor, fields, graph = predict_case(
-        args.checkpoint, args.case_path, name=args.checkpoint_name
+        args.checkpoint, args.case_path, name=args.checkpoint_name,
+        boundary_self_loops=getattr(args, "boundary_self_loops", False),
     )
     print(f"Graph: {graph.n_nodes} nodes, {graph.n_edges} edges")
     print("Prediction completed!")
@@ -478,6 +480,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Keep uniform (initial-condition) snapshots")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint in output_dir")
+    p.add_argument("--progress", action="store_true",
+                   help="Live tqdm epoch bar with loss postfix (parity with "
+                        "the reference's per-batch bar, train.py:165,194)")
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("infer", help="Run inference with a trained model")
@@ -489,6 +494,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reference_time", type=str, default=None)
     p.add_argument("--save_format", type=str, default="numpy",
                    choices=["numpy", "openfoam", "both"])
+    p.add_argument("--boundary_self_loops", action="store_true",
+                   help="Add one self-edge per boundary face (the reference's "
+                        "unfiltered-inference graph, inference.py:256); "
+                        "default is the canonical training graph")
     p.set_defaults(func=cmd_infer)
 
     p = sub.add_parser(

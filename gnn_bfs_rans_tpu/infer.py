@@ -150,12 +150,19 @@ def predict_case(
     case_path: str | Path,
     name: str = "best",
     backend: str | None = "dense",
+    boundary_self_loops: bool = False,
 ) -> tuple[Predictor, dict[str, np.ndarray], Graph]:
     """End-to-end: load checkpoint, parse case, build graph, predict.
 
     ``backend`` as in :meth:`Predictor.from_checkpoint` (default: dense —
     fastest cold-start for a one-shot forward).  When the effective backend
     is pallas, the graph gets the banded adjacency component its conv reads.
+
+    ``boundary_self_loops`` adds one self-edge per boundary face, the
+    reference's unfiltered-inference graph variant (``inference.py:256`` →
+    ``graph_constructor.py:47-54``).  The default (off) is the canonical
+    training graph — the quirk-4 fix — so train and inference see identical
+    topology; the flag exists for A/B parity studies.
     """
     predictor = Predictor.from_checkpoint(checkpoint_dir, name, backend=backend)
     case = FoamCase(case_path)
@@ -167,8 +174,11 @@ def predict_case(
         graph = build_graph(
             mesh, with_band=True,
             band_components=LAYER_COMPONENTS.get(cfg.layer_type),
+            boundary_self_loops=boundary_self_loops,
         ).to_device()
     else:
-        graph = build_graph(mesh).to_device()
+        graph = build_graph(
+            mesh, boundary_self_loops=boundary_self_loops
+        ).to_device()
     fields = predictor.predict_fields(graph)
     return predictor, fields, graph

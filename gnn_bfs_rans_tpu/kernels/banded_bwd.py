@@ -40,24 +40,41 @@ def combine_partials(part: jax.Array, tile: int) -> jax.Array:
     """[n_tiles, W_sub, sub, F] per-(receiver-tile, window-block) partials
     → [N, F].
 
-    Window block (t, k) covers sender sub-tile ``t·r + k − k0s`` (r = T/sub
-    blocks per tile, ``k0s = (W_sub − r)/2``), so the fold is W_sub shifted
-    adds onto an [n_tiles(+pad), r, sub, F] view — pure XLA, no scatter.
-    Accumulation always runs in float32 — partials may be stored in the
-    (bf16) primal dtype to halve the dominant HBM stream of the backward,
-    since the final cotangent is cast to the primal dtype regardless.
+    Window block (t, k) covers sender sub-tile ``t·r + k − k0`` (r = T/sub
+    blocks per tile, ``k0 = (W_sub − r)/2``), i.e. partial (t, k) lands at
+    destination tile ``u = t + ⌊(k−k0)/r⌋``, sub-row ``m = (k−k0) mod r``.
+    Inverting: ``dz[u, m] = Σ_{k ≡ k0+m (mod r)} part[u − ⌊(k−k0)/r⌋, k]``
+    — each output element is a sum of ``W_sub/r`` *shifted slices* of the
+    partials, which XLA fuses into ONE pass (read the partials once, write
+    the result once, f32 accumulation in registers).
+
+    The previous formulation — W_sub strided ``.at[].add`` updates onto an
+    [n_tiles(+pad), r, sub, F] f32 accumulator — nominally re-reads and
+    re-writes the f32 accumulator per window block; XLA fused it well
+    enough that the A/B at 1M cells measured neutral (w_sub=4,
+    artifacts/scale_bwd_decomp*.json), so this form is kept for being
+    guaranteed single-pass (and simpler), not for a measured win.
+    Partials may be stored in the (bf16) primal dtype to halve the stream;
+    the final cotangent is cast to the primal dtype regardless.
     """
     n_tiles, w_sub, sub, feat = part.shape
     r = tile // sub
     k0 = (w_sub - r) // 2
-    pad = -(-k0 // r)  # whole receiver tiles of padding each side
-    acc = jnp.zeros((n_tiles + 2 * pad, r, sub, feat), jnp.float32)
-    for k in range(w_sub):
-        offs = k - k0 + pad * r  # destination sub-tile, shifted non-negative
-        acc = acc.at[offs // r:offs // r + n_tiles, offs % r].add(
-            part[:, k].astype(jnp.float32))
-    flat = acc.reshape((n_tiles + 2 * pad) * tile, feat)
-    return flat[pad * tile:pad * tile + n_tiles * tile]
+    pad = (w_sub + r - 1) // r + 1  # ≥ max |tile shift| over window blocks
+    p = jnp.pad(part, ((pad, pad), (0, 0), (0, 0), (0, 0)))
+    rows = []
+    for m in range(r):
+        acc = None
+        for k in range(w_sub):
+            if (k - k0) % r != m:
+                continue
+            s = (k - k0) // r  # Python floor: correct for negative k−k0
+            sl = p[pad - s:pad - s + n_tiles, k].astype(jnp.float32)
+            acc = sl if acc is None else acc + sl
+        rows.append(acc if acc is not None
+                    else jnp.zeros((n_tiles, sub, feat), jnp.float32))
+    dz = jnp.stack(rows, axis=1)  # [n_tiles, r, sub, F]
+    return dz.reshape(n_tiles * tile, feat)
 
 
 # ------------------------------------------------------------ GAT backward

@@ -65,6 +65,7 @@ class Trainer:
         train_config: TrainConfig,
         output_dir: str | Path = "checkpoints",
         log_fn=print,
+        progress: bool = False,
     ):
         self.dataset = dataset
         self.model_config = model_config
@@ -72,6 +73,14 @@ class Trainer:
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.log = log_fn
+        # Live tqdm progress (parity with the reference's per-batch bar,
+        # train.py:165,194).  Opt-in: the per-batch loss postfix forces a
+        # device sync per batch in the per-epoch loop — exactly what the
+        # reference's loss.item() does, but worth paying only when a human
+        # is watching.  In the blocked loop the bar advances per block (the
+        # whole point of epoch blocks is not syncing per batch).
+        self.progress = progress
+        self._pbar = None
 
         self.model = FlowGNN(model_config)
         self.graph = dataset.graph.to_device()
@@ -153,6 +162,25 @@ class Trainer:
         )
         self.log(f"Model parameters: {n_params:,}")
 
+    def _open_pbar(self):
+        """Start the epoch progress bar and route log lines through
+        ``tqdm.write`` so they don't tear the bar."""
+        if not self.progress:
+            return
+        from tqdm import tqdm
+
+        self._pbar = tqdm(
+            total=self.config.epochs, initial=self.start_epoch - 1,
+            desc="Training", unit="epoch", dynamic_ncols=True,
+        )
+        self._plain_log, self.log = self.log, tqdm.write
+
+    def _close_pbar(self):
+        if self._pbar is not None:
+            self._pbar.close()
+            self._pbar = None
+            self.log = self._plain_log
+
     def _truncate_metrics_jsonl(self, start_epoch: int) -> None:
         """Drop metrics.jsonl rows at/after ``start_epoch`` so a resumed run
         does not double-append epochs already recorded (the history JSON is
@@ -202,6 +230,15 @@ class Trainer:
             )
         lr = self.scheduler.lr
 
+        self._open_pbar()
+        try:
+            self._run_epochs(cfg, n, lr)
+        finally:
+            self._close_pbar()
+        self.save_history()
+        return self.history
+
+    def _run_epochs(self, cfg, n, lr) -> None:
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             freeze = False
             if cfg.curriculum_epochs > 0:
@@ -234,6 +271,10 @@ class Trainer:
                     freeze_pressure=freeze,
                 )
                 losses.append(loss)
+                if self._pbar is not None:
+                    # live per-batch loss postfix (reference train.py:194);
+                    # float(loss) is the same per-batch sync loss.item() pays
+                    self._pbar.set_postfix(loss=f"{float(loss):.6f}")
             train_loss = float(np.mean([float(l) for l in losses]))
             if not np.isfinite(train_loss):
                 self.save_history()
@@ -269,6 +310,12 @@ class Trainer:
                 f"Epoch {epoch}: train={train_loss:.6f} val={val_loss:.6f} "
                 f"lr={lr_used:.3e} ({dt:.2f}s)"
             )
+            if self._pbar is not None:
+                self._pbar.set_postfix(
+                    train=f"{train_loss:.6f}", val=f"{val_loss:.6f}",
+                    lr=f"{lr_used:.1e}",
+                )
+                self._pbar.update(1)
 
             # structured per-epoch metrics (SURVEY.md §5 observability plan)
             with open(self.output_dir / "metrics.jsonl", "a") as f:
@@ -292,9 +339,6 @@ class Trainer:
                 self._save("best", epoch, val_loss, extra)
             if epoch % cfg.save_every == 0:
                 self._save(f"epoch_{epoch}", epoch, val_loss, extra)
-
-        self.save_history()
-        return self.history
 
     def _train_loop_blocked(self) -> dict:
         """Device-resident epoch loop: ``lax.scan`` blocks of up to
@@ -325,6 +369,15 @@ class Trainer:
         ), best_val=jnp.asarray(self.best_val, jnp.float32))
 
         epoch = self.start_epoch
+        self._open_pbar()
+        try:
+            epoch = self._run_blocks(cfg, n, block_fn, carry, epoch)
+        finally:
+            self._close_pbar()
+        self.save_history()
+        return self.history
+
+    def _run_blocks(self, cfg, n, block_fn, carry, epoch) -> int:
         while epoch <= cfg.epochs:
             if cfg.curriculum_epochs > 0 and epoch == cfg.curriculum_epochs + 1:
                 new_lr = float(carry.sched.lr) * 0.5
@@ -419,11 +472,16 @@ class Trainer:
                     self.state = saved
             if stop % cfg.save_every == 0 or stop == cfg.epochs:
                 self._save(f"epoch_{stop}", stop, float(val_losses[-1]), extra)
+            if self._pbar is not None:
+                self._pbar.set_postfix(
+                    train=f"{train_losses[-1]:.6f}",
+                    val=f"{val_losses[-1]:.6f}", lr=f"{lrs[-1]:.1e}",
+                )
+                self._pbar.update(k)
             epoch = stop + 1
 
         self.rng = carry.rng
-        self.save_history()
-        return self.history
+        return epoch
 
     def _save(self, name: str, epoch: int, val_loss: float, extra: dict) -> None:
         save_checkpoint(

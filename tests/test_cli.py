@@ -149,3 +149,45 @@ def test_train_multitopo_cli(tmp_path, capsys):
     assert "2 bucket(s)" in text
     assert (out / "training_history.json").exists()
     assert (out / "best").exists()
+
+
+def test_infer_boundary_self_loops(tmp_path, capsys):
+    """--boundary_self_loops builds the reference's unfiltered-inference
+    graph variant (inference.py:256): +1 self-edge per boundary face."""
+    ckpt = tmp_path / "ckpt"
+    rc = main([
+        "train", "--case_path", CASE, "--output_dir", str(ckpt),
+        "--hidden_dim", "16", "--num_layers", "1", "--epochs", "1",
+        "--save_every", "1",
+    ])
+    assert rc == 0
+
+    pred = tmp_path / "pred"
+    rc = main([
+        "infer", "--checkpoint", str(ckpt), "--case_path", CASE,
+        "--output_dir", str(pred), "--boundary_self_loops",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # 48,340 bidirectional internal edges + 25,010 boundary self-loops
+    assert "12225 nodes, 73350 edges" in out
+    npz = np.load(pred / "predictions.npz")
+    assert npz["U"].shape == (12225, 3)  # node count unchanged
+
+
+def test_train_progress_bar(tmp_path):
+    """--progress runs the live tqdm bar through both trainer loops."""
+    from gnn_bfs_rans_tpu.models.flow_gnn import ModelConfig
+    from gnn_bfs_rans_tpu.train import TrainConfig, Trainer, load_dataset
+
+    ds = load_dataset(CASE)
+    for block in (1, 2):
+        tcfg = TrainConfig(epochs=2, save_every=2, epoch_block=block)
+        mcfg = ModelConfig(hidden_dim=16, num_layers=1)
+        tr = Trainer(ds, mcfg, tcfg, output_dir=tmp_path / f"b{block}",
+                     progress=True)
+        tr.initialize()
+        hist = tr.train()
+        assert hist["epoch"] == [1, 2]
+        assert tr._pbar is None  # bar closed, log restored
+        assert tr.log is print

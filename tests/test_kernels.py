@@ -906,3 +906,38 @@ class TestFusedProjectionGAT:
         np.testing.assert_allclose(np.asarray(out_eval),
                                    np.asarray(out_train),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestCombinePartials:
+    """The fused shifted-slice fold must equal the scatter-add formulation."""
+
+    @pytest.mark.parametrize("n_tiles,w_sub,sub,tile", [
+        (8, 6, 4, 8),    # 3-tile window, r=2 (flagship layout)
+        (8, 10, 4, 8),   # 5-tile window, r=2
+        (8, 4, 4, 8),    # half-tile-clamped window (k0 not a multiple of r)
+        (5, 3, 8, 8),    # r=1 degenerate
+    ])
+    def test_matches_scatter_add_reference(self, n_tiles, w_sub, sub, tile):
+        import jax.numpy as jnp
+
+        from gnn_bfs_rans_tpu.kernels.banded_bwd import combine_partials
+
+        rng = np.random.default_rng(0)
+        feat = 5
+        part = jnp.asarray(
+            rng.normal(size=(n_tiles, w_sub, sub, feat)).astype(np.float32))
+
+        # the original formulation: W_sub strided .at[].add onto a padded acc
+        r = tile // sub
+        k0 = (w_sub - r) // 2
+        pad = max(-(-k0 // r), (w_sub - 1 - k0) // r + 1)
+        acc = jnp.zeros((n_tiles + 2 * pad, r, sub, feat), jnp.float32)
+        for k in range(w_sub):
+            offs = k - k0 + pad * r
+            acc = acc.at[offs // r:offs // r + n_tiles, offs % r].add(part[:, k])
+        ref = acc.reshape((n_tiles + 2 * pad) * tile, feat)[
+            pad * tile:pad * tile + n_tiles * tile]
+
+        out = combine_partials(part, tile)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
