@@ -64,10 +64,12 @@ class ModelConfig:
     # train config (tools/profile_fuse_train.py, artifacts/fuse_train_ab.json).
     fuse_train: bool = True
     # Rematerialize each conv under jax.checkpoint: activations inside the
-    # conv (projections z/q/k/v, [N, H·C] per layer) are recomputed in the
-    # backward instead of stored — trades ~1 extra forward's FLOPs for
-    # O(num_layers·N·H·C) of HBM, the lever that fits 1M-cell training on
-    # one chip (BENCHMARKS.md scale table).
+    # conv are recomputed in the backward instead of stored.  Mostly
+    # obsolete for the GAT fuse_train path: its custom VJP keeps only conv
+    # INPUTS as residuals, so the remat replay is dead code and the memory
+    # saving is nil — 1M-cell training fits and runs fastest with remat
+    # off (BENCHMARKS.md scale table).  Still meaningful for the unfused /
+    # Transformer paths whose projections are stored residuals.
     remat: bool = False
 
     def to_dict(self) -> dict[str, Any]:
