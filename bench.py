@@ -4,7 +4,11 @@
 Metric: edge-messages/sec/chip for a 4-layer GAT forward on the BFS mesh
 (48,340-edge graph) with the fused banded Pallas attention kernels in
 bfloat16, vs the BASELINE.json north-star target of 1e8.  Timed as chained
-marginal device latency (see utils/bench.py) — queue-depth-honest.
+marginal device latency (see utils/bench.py) — queue-depth-honest, with
+round-4 defenses: full-output consumption in the chain, automatic reps
+widening until signal ≫ jitter, an analytic-FLOPs roofline guard that
+rejects physically impossible numbers, and a steady-state dispatch
+cross-check (both timings are in the JSON, along with MFU).
 Runs on whatever accelerator jax selects (TPU under axon; CPU otherwise).
 """
 
@@ -32,12 +36,15 @@ def main() -> int:
         "value": result["value"],
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
+        "mfu": result["mfu"],
         "detail": {
             k: result[k]
             for k in (
                 "mode", "layer_type", "num_layers", "hidden_dim", "backend",
-                "compute_dtype", "n_edges", "step_median_s", "steps_per_sec",
-                "platform", "timing",
+                "compute_dtype", "n_edges", "step_median_s", "step_steady_s",
+                "steps_per_sec", "platform", "timing", "timing_detail",
+                "cross_check", "matmul_flops", "mfu", "bound",
+                "roofline_min_s",
             )
         },
     }

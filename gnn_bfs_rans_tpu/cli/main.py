@@ -67,7 +67,8 @@ def cmd_train(args) -> int:
         epoch_block=args.epoch_block,
     )
     trainer = Trainer(dataset, mcfg, tcfg, output_dir=out_dir,
-                      progress=getattr(args, "progress", False))
+                      progress=getattr(args, "progress", False),
+                      aot=(False if getattr(args, "no_aot", False) else "auto"))
     trainer.initialize(resume=args.resume)
     trainer.train()
     print("Training completed!")
@@ -483,6 +484,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--progress", action="store_true",
                    help="Live tqdm epoch bar with loss postfix (parity with "
                         "the reference's per-batch bar, train.py:165,194)")
+    p.add_argument("--no_aot", action="store_true",
+                   help="Disable the precompiled-executable cache for the "
+                        "training epoch blocks (<output_dir>/aot)")
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("infer", help="Run inference with a trained model")

@@ -33,10 +33,65 @@ from .tokenizer import (
 
 DEFAULT_FIELDS = ("U", "p", "k", "epsilon", "nut")
 
-_BOUNDARY_PATCH = re.compile(
-    r"(\w+)\s*\{([^{}]*)\}", re.DOTALL
-)
-_KEYVAL = re.compile(r"(\w+)\s+([^;]+);")
+_DICT_OPEN = re.compile(r'("[^"]+"|[A-Za-z_][\w.\-]*)\s*\{')
+_KEYVAL = re.compile(r"(\w+)\s+([^;{}]+);")
+
+
+def iter_foam_dicts(body: str):
+    """Yield ``(name, inner)`` for each top-level ``name { ... }`` entry.
+
+    Brace-balance-aware: an entry may contain nested ``{}`` sub-dictionaries
+    (real-world polyMesh ``boundary`` files — e.g. coupled/processor patches
+    — do), which the reference's flat regex (``openfoam_loader.py:94-112``,
+    ``[^{}]*``) cannot parse.  ``inner`` spans to the *matching* close brace.
+    """
+    for name, inner, _, _ in _iter_dict_spans(body):
+        yield name, inner
+
+
+def _iter_dict_spans(body: str):
+    """Like :func:`iter_foam_dicts` but also yields (start, end) char spans."""
+    i = 0
+    n = len(body)
+    while True:
+        m = _DICT_OPEN.search(body, i)
+        if m is None:
+            return
+        depth, j = 1, m.end()
+        while j < n and depth:
+            c = body[j]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+            j += 1
+        if depth:  # unbalanced trailing entry: ignore, like a truncated file
+            return
+        yield m.group(1).strip('"'), body[m.end(): j - 1], m.start(), j
+        i = j
+
+
+def parse_foam_dict(text: str) -> tuple[dict[str, str], dict[str, dict]]:
+    """Split a dictionary body into flat ``key value;`` entries + sub-dicts.
+
+    Returns ``(keyvals, subdicts)``: ``keyvals`` holds the body's own
+    ``key value;`` entries (nested blocks excluded), ``subdicts`` maps each
+    nested dictionary name to its recursively parsed keyvals, with deeper
+    levels flattened as ``outer.inner`` keys.
+    """
+    subdicts: dict[str, dict] = {}
+    flat_parts: list[str] = []
+    pos = 0
+    for name, inner, start, end in _iter_dict_spans(text):
+        flat_parts.append(text[pos:start])
+        kv, sub = parse_foam_dict(inner)
+        kv.update({f"{k}.{k2}": v for k, s in sub.items()
+                   for k2, v in s.items()})
+        subdicts[name] = kv
+        pos = end
+    flat_parts.append(text[pos:])
+    kv = dict(_KEYVAL.findall("".join(flat_parts)))
+    return kv, subdicts
 
 
 @dataclass
@@ -111,8 +166,11 @@ class FoamCase:
     def read_boundary(self) -> dict[str, BoundaryPatch]:
         body = self._read_body(self.mesh_path / "boundary")
         patches: dict[str, BoundaryPatch] = {}
-        for name, inner in _BOUNDARY_PATCH.findall(body):
-            kv = dict(_KEYVAL.findall(inner))
+        # brace-balance-aware walk: a patch entry may contain nested {}
+        # sub-dictionaries (processor/cyclic transforms); the flat keyvals
+        # of the patch itself are what BoundaryPatch needs
+        _, entries = parse_foam_dict(body)
+        for name, kv in entries.items():
             if "nFaces" not in kv or "startFace" not in kv:
                 continue
             patches[name] = BoundaryPatch(

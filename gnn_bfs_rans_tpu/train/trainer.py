@@ -66,6 +66,7 @@ class Trainer:
         output_dir: str | Path = "checkpoints",
         log_fn=print,
         progress: bool = False,
+        aot: bool | str = "auto",
     ):
         self.dataset = dataset
         self.model_config = model_config
@@ -81,6 +82,16 @@ class Trainer:
         # whole point of epoch blocks is not syncing per batch).
         self.progress = progress
         self._pbar = None
+        # Precompiled-executable cache for the TRAINING path (ROADMAP Perf
+        # #4 leftover / VERDICT r3 item 6): epoch-block scan executables
+        # serialize into <output_dir>/aot keyed on the lowered HLO (which
+        # embeds the Mosaic kernel payloads + config), so a cold-start train
+        # run skips the minutes-scale Mosaic compile.  'auto' = TPU only —
+        # the CPU interpret path compiles in seconds and some backends don't
+        # support executable serialization.
+        if aot == "auto":
+            aot = jax.default_backend() == "tpu"
+        self.aot_dir = (self.output_dir / "aot") if aot else None
 
         self.model = FlowGNN(model_config)
         self.graph = dataset.graph.to_device()
@@ -97,15 +108,18 @@ class Trainer:
 
             return FlowGNN(_dc.replace(model_config, backend="dense"))
 
+        # log late-bound through self.log: _open_pbar() swaps self.log to
+        # tqdm.write, and fallback warnings must follow the swap or they
+        # tear the progress bar (advisor round 3)
         self.train_step = GroupFallback(
             lambda: make_train_step(self.model, train_config),
             dense_build=lambda: make_train_step(_dense_model(), train_config),
-            log=log_fn, name="train step",
+            log=lambda *a, **k: self.log(*a, **k), name="train step",
         )
         self.eval_step = GroupFallback(
             lambda: make_eval_step(self.model, train_config),
             dense_build=lambda: make_eval_step(_dense_model(), train_config),
-            log=log_fn, name="eval step",
+            log=lambda *a, **k: self.log(*a, **k), name="eval step",
         )
 
         # PRNG impl per TrainConfig.rng_impl ('auto' → rbg on TPU for speed,
@@ -167,7 +181,12 @@ class Trainer:
         ``tqdm.write`` so they don't tear the bar."""
         if not self.progress:
             return
-        from tqdm import tqdm
+        try:
+            from tqdm import tqdm
+        except ImportError:  # declared in pyproject; guard a partial install
+            self.log("tqdm not installed — --progress disabled")
+            self.progress = False
+            return
 
         self._pbar = tqdm(
             total=self.config.epochs, initial=self.start_epoch - 1,
@@ -358,8 +377,8 @@ class Trainer:
         from ..kernels.fallback import GroupFallback
 
         block_fn = GroupFallback(
-            lambda: make_epoch_block(self.model, cfg, n),
-            log=self.log, name="epoch block",
+            lambda: self._aot_wrap(make_epoch_block(self.model, cfg, n)),
+            log=lambda *a, **k: self.log(*a, **k), name="epoch block",
         )
         self.rng, loop_rng = jax.random.split(self.rng)
         carry = init_epoch_block_carry(self.state, self.scheduler.lr, loop_rng)
@@ -376,6 +395,33 @@ class Trainer:
             self._close_pbar()
         self.save_history()
         return self.history
+
+    def _aot_wrap(self, block):
+        """Route epoch-block calls through the precompiled-executable cache.
+
+        One executable per static signature ``(n_epochs, freeze)`` — a run
+        uses at most ~4 (full block, save_every remainder, curriculum
+        boundary, final partial block).  Buffer donation (the carry) is an
+        executable property and survives serialization.  No-op when AOT is
+        disabled.
+        """
+        if self.aot_dir is None:
+            return block
+        from ..utils.aot import load_or_compile
+
+        compiled: dict = {}
+
+        def call(carry, graph, targets, epoch0, n_epochs, freeze=False):
+            key = (n_epochs, bool(freeze))
+            if key not in compiled:
+                compiled[key] = load_or_compile(
+                    block, (carry, graph, targets, epoch0), self.aot_dir,
+                    label=f"epoch-block-k{n_epochs}-f{int(freeze)}",
+                    kwargs={"n_epochs": n_epochs, "freeze": freeze},
+                )
+            return compiled[key](carry, graph, targets, epoch0)
+
+        return call
 
     def _run_blocks(self, cfg, n, block_fn, carry, epoch) -> int:
         while epoch <= cfg.epochs:

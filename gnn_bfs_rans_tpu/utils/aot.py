@@ -42,16 +42,20 @@ def _cache_file(lowered, cache_dir: Path) -> Path:
     return Path(cache_dir) / f"aot_{key}.pkl"
 
 
-def load_or_compile(jitted_fn, args, cache_dir: str | Path, label: str = ""):
-    """Return a compiled executable for ``jitted_fn(*args)``, via disk cache.
+def load_or_compile(jitted_fn, args, cache_dir: str | Path, label: str = "",
+                    kwargs: dict | None = None):
+    """Return a compiled executable for ``jitted_fn(*args, **kwargs)``.
 
     The returned object is callable with the same (structurally identical)
-    arguments as ``jitted_fn``.  Tracing/lowering still runs (seconds); only
-    the backend compile — the minutes-scale part for Mosaic kernels — is
-    skipped on a cache hit.
+    *dynamic* arguments as ``jitted_fn`` (static kwargs are baked into the
+    executable).  Tracing/lowering still runs (seconds); only the backend
+    compile — the minutes-scale part for Mosaic kernels — is skipped on a
+    cache hit.  The cache key hashes the lowered HLO text, which embeds the
+    Mosaic kernel payloads — so any kernel-source or config change gets a
+    fresh entry automatically.
     """
     cache_dir = Path(cache_dir)
-    lowered = jitted_fn.lower(*args)
+    lowered = jitted_fn.lower(*args, **(kwargs or {}))
     file = _cache_file(lowered, cache_dir)
     if file.exists():
         try:

@@ -3,6 +3,23 @@
 Metric (BASELINE.json): one "edge message" = one edge processed by one conv
 layer, so a forward emits ``num_layers × n_edges`` messages.
 
+Round-4 rework (VERDICT round 3, item 1): the r03 harness's marginal-timing
+resolution collapsed and recorded a physically impossible number.  This
+harness now enforces four defenses:
+
+1. **Full-output consumption** — the chain feedback reduces the WHOLE output
+   (``jnp.sum``), so no part of the model (output MLP, BN glue) is sliceable
+   dead code.  (The r03 chain consumed ``out.ravel()[0]`` only.)
+2. **Signal ≫ noise** — base=8/reps=64/trials=5 by default, and reps widen
+   automatically until the full-vs-base delta is ≥ ``min_snr``× the observed
+   trial spread.
+3. **Roofline sanity** — analytic matmul FLOPs (utils.roofline) divided by
+   the measured time must not exceed chip peak; a violation raises.
+4. **Steady-state cross-check** — an independent back-to-back-dispatch
+   measurement (the method trace-validated at 1M cells,
+   tools/profile_scale_steady.py); both numbers are reported and a >2×
+   disagreement in the impossible direction (steady < chained/2) raises.
+
 Timing methodology — **chained marginal latency**: on remote/tunneled device
 runtimes, ``jax.block_until_ready`` can return before compute finishes and
 naive per-call loops measure queue depth, not work.  Instead, one jit
@@ -22,49 +39,136 @@ import numpy as np
 
 
 def _fetch_scalar(out) -> None:
+    """Fence: fetch one element (consumption happens *inside* the jit)."""
     leaf = jax.tree.leaves(out)[0]
     np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
+@dataclasses.dataclass
+class MarginalTiming:
+    step_s: float
+    base: int
+    reps: int
+    trials: int
+    t_base_s: float
+    t_full_s: float
+    spread_s: float        # max−min over trials at the full rep count
+    snr: float             # (t_full − t_base) / spread
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _marginal_from_times(
+    t_base: float, t_full: float, base: int, reps: int,
+    spread: float, trials: int,
+) -> MarginalTiming:
+    """Form the marginal estimate; refuse a collapsed (≤0) delta."""
+    delta = t_full - t_base
+    if delta <= 0:
+        raise RuntimeError(
+            f"bench resolution collapse: T({reps})={t_full:.4f}s ≤ "
+            f"T({base})={t_base:.4f}s — the marginal signal is below the "
+            f"jitter floor even at reps={reps}; refusing to report"
+        )
+    return MarginalTiming(
+        step_s=delta / (reps - base),
+        base=base, reps=reps, trials=trials,
+        t_base_s=t_base, t_full_s=t_full, spread_s=spread,
+        snr=delta / spread,
+    )
+
+
 def chained_marginal_time(
-    apply_fn, graph, reps: int = 32, base: int = 2, trials: int = 3
-) -> float:
+    apply_fn,
+    graph,
+    reps: int = 64,
+    base: int = 8,
+    trials: int = 5,
+    min_snr: float = 20.0,
+    max_reps: int = 512,
+) -> MarginalTiming:
     """Marginal seconds per forward via chained data-dependent calls.
 
     ``apply_fn(graph) -> out`` must be a pure function of the graph.  The
     chain runs as a ``lax.fori_loop`` whose carry feeds each iteration's
-    output back into the next input (scaled by 1e-30 — numerically invisible
-    but not constant-foldable), so the device must execute ``k`` sequential
-    forwards per call; ``(T(reps) − T(base)) / (reps − base)`` cancels both
-    the host round trip and the loop setup, and large ``reps`` averages away
-    tunnel jitter.  One traced body per k → compile cost is k-independent.
+    **full output reduction** back into the next input (scaled by 1e-30 —
+    numerically invisible but not constant-foldable), so the device must
+    execute ``k`` sequential forwards per call and every output element is
+    live; ``(T(reps) − T(base)) / (reps − base)`` cancels both the host
+    round trip and the loop setup.  One traced body per k → compile cost is
+    k-independent.  Reps double until the delta clears ``min_snr×`` the
+    trial spread (the r03 failure was a delta below the jitter floor).
     """
 
     @jax.jit
     def f(g, k):
         def body(_, feat):
             out = apply_fn(dataclasses.replace(g, node_feat=feat))
-            dep = out.ravel()[0].astype(feat.dtype) * 1e-30
+            # FULL reduction: consumes every output element — nothing is
+            # sliceable dead code (VERDICT r3 item 1 / advisor r2)
+            dep = jnp.sum(out).astype(feat.dtype) * 1e-30
             return feat + dep
 
         # dynamic trip count → ONE compiled executable serves every k
         return jax.lax.fori_loop(0, k, body, g.node_feat)
 
-    def best_time(k: int) -> float:
+    def timings(k: int) -> list[float]:
         kk = jnp.asarray(k, jnp.int32)
-        out = f(graph, kk)
-        _fetch_scalar(out)
-        best = float("inf")
+        _fetch_scalar(f(graph, kk))  # warm
+        ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            out = f(graph, kk)
-            _fetch_scalar(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            _fetch_scalar(f(graph, kk))
+            ts.append(time.perf_counter() - t0)
+        return ts
 
-    t_base = best_time(base)
-    t_full = best_time(reps)
-    return max((t_full - t_base) / (reps - base), 1e-9)
+    while True:
+        tb = timings(base)
+        tf = timings(reps)
+        t_base, t_full = min(tb), min(tf)
+        spread = max(max(tf) - min(tf), 1e-9)
+        if (t_full - t_base) >= min_snr * spread or reps >= max_reps:
+            break
+        reps *= 2
+
+    return _marginal_from_times(t_base, t_full, base, reps, spread, trials)
+
+
+def steady_state_time(
+    dispatch_fn,
+    steps: int = 64,
+    base: int = 8,
+    depth: int = 3,
+    trials: int = 2,
+) -> float:
+    """Wall throughput of back-to-back host-driven dispatches.
+
+    ``dispatch_fn(i) -> out`` launches step ``i`` asynchronously and returns
+    something fetchable.  A bounded pending queue (``depth``) keeps the
+    device busy without overrunning the dispatch tunnel; ``(T(steps) −
+    T(base)) / (steps − base)`` subtracts warmup/fence cost.  This is the
+    method the 1M-cell per-op trace validated (zero intra-step bubbles,
+    wall == device-busy); at very small step times it upper-bounds device
+    time by per-dispatch host cost instead — the cross-check logic in
+    :func:`run_benchmark` accounts for that asymmetry.
+    """
+
+    def burst(n: int) -> float:
+        pending = []
+        t0 = time.perf_counter()
+        for i in range(n):
+            pending.append(dispatch_fn(i))
+            if len(pending) > depth:
+                _fetch_scalar(pending.pop(0))
+        for o in pending:
+            _fetch_scalar(o)
+        return time.perf_counter() - t0
+
+    burst(base)  # warm the dispatch path
+    tb = min(burst(base) for _ in range(trials))
+    tk = min(burst(steps) for _ in range(trials))
+    return max((tk - tb) / (steps - base), 1e-9)
 
 
 def time_fn(fn, *args, steps: int = 50, warmup: int = 5, chunk: int = 10) -> dict:
@@ -102,27 +206,58 @@ def time_fn(fn, *args, steps: int = 50, warmup: int = 5, chunk: int = 10) -> dic
     }
 
 
+def _cross_check(chained_s: float, steady_s: float | None) -> dict:
+    """Reconcile the two timing modes; raise on impossible disagreement.
+
+    Steady-state wall per step can exceed chained marginal time when
+    per-dispatch host/tunnel cost dominates a sub-ms step (it is an upper
+    bound on device time) — that is reported, not fatal.  Steady-state
+    being *less than half* the chained time is impossible (the device cannot
+    execute a step faster than its marginal execution time) and means one of
+    the measurements is broken.
+    """
+    if steady_s is None:
+        return {"steady_available": False}
+    ratio = steady_s / chained_s
+    if ratio < 0.5:
+        raise RuntimeError(
+            f"timing cross-check failed: steady-state {steady_s*1e6:.1f} µs "
+            f"is {1/ratio:.1f}× FASTER than chained marginal "
+            f"{chained_s*1e6:.1f} µs — physically impossible; one harness "
+            f"is under-resolved"
+        )
+    return {
+        "steady_available": True,
+        "steady_over_chained": ratio,
+        "agreement_2x": bool(ratio <= 2.0),
+        # ratio > 2 ⇒ the dispatch path, not the device, limits steady-state
+        "steady_dispatch_bound": bool(ratio > 2.0),
+    }
+
+
 def run_benchmark(
     case_path: str = "/root/reference/OpenFOAM-data",
     layer_type: str = "GAT",
     num_layers: int = 4,
     hidden_dim: int = 256,
     backend: str = "pallas",
-    steps: int = 8,
+    steps: int = 64,
     mode: str = "forward",
     baseline_msgs_per_sec: float = 1e8,
     compute_dtype: str = "bfloat16",
+    cross_check: bool = True,
 ) -> dict:
     """Benchmark a model config on the BFS mesh; returns a JSON-able dict.
 
     Defaults are the flagship configuration: 4-layer GAT, fused banded Pallas
-    attention kernels, bfloat16 compute.
+    attention kernels, bfloat16 compute.  The returned dict carries both
+    timing modes, analytic FLOPs, MFU, and the roofline bound class.
     """
+    from ..graph.band import LAYER_COMPONENTS
     from ..models.flow_gnn import FlowGNN, ModelConfig
     from ..train import TrainConfig, load_dataset
     from ..train.loop import init_state, make_train_step
-
-    from ..graph.band import LAYER_COMPONENTS
+    from . import roofline
 
     dataset = load_dataset(
         case_path,
@@ -142,9 +277,12 @@ def run_benchmark(
     tcfg = TrainConfig()
     model = FlowGNN(mcfg)
     state = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
 
     edge_messages = num_layers * graph.n_edges
 
+    steady_s: float | None = None
     if mode == "forward":
         def apply_fn(g):
             return model.apply(
@@ -152,8 +290,12 @@ def run_benchmark(
                 g, train=False,
             )
 
-        step_s = chained_marginal_time(apply_fn, graph, reps=max(steps, 16))
-        stats = {"median_s": step_s, "min_s": step_s}
+        timing = chained_marginal_time(apply_fn, graph, reps=max(steps, 64))
+
+        if cross_check:
+            fwd = jax.jit(apply_fn)
+            _fetch_scalar(fwd(graph))  # compile
+            steady_s = steady_state_time(lambda i: fwd(graph))
     else:
         # Chained-marginal timing for the train step too: K data-dependent
         # steps inside one executable; the marginal cost per step cancels the
@@ -171,25 +313,58 @@ def run_benchmark(
                 return s2
             return jax.lax.fori_loop(0, k, body, s0)
 
-        def best_time(k: int, trials: int = 3) -> float:
+        def timings(k: int, trials: int = 5) -> list[float]:
             kk = jnp.asarray(k, jnp.int32)
             out = chain(state, graph, targets, kk)
             _fetch_scalar(out.params["out_3"]["bias"])
-            best = float("inf")
+            ts = []
             for _ in range(trials):
                 t0 = time.perf_counter()
                 out = chain(state, graph, targets, kk)
                 _fetch_scalar(out.params["out_3"]["bias"])
-                best = min(best, time.perf_counter() - t0)
-            return best
+                ts.append(time.perf_counter() - t0)
+            return ts
 
-        base = 2
-        reps = max(steps, 16)
-        t_base, t_full = best_time(base), best_time(reps)
-        step_s = max((t_full - t_base) / (reps - base), 1e-9)
-        stats = {"median_s": step_s, "min_s": step_s}
+        base, reps = 8, max(steps, 64)
+        while True:
+            tb, tf = timings(base), timings(reps)
+            t_base, t_full = min(tb), min(tf)
+            spread = max(max(tf) - min(tf), 1e-9)
+            if (t_full - t_base) >= 20.0 * spread or reps >= 512:
+                break
+            reps *= 2
+        timing = _marginal_from_times(t_base, t_full, base, reps, spread, 5)
 
-    msgs_per_sec = edge_messages / stats["median_s"]
+        if cross_check:
+            # donation-safe steady-state: thread the state like a real run
+            jstep = make_train_step(model, tcfg)
+            st = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
+            st, l0 = jstep(st, graph, targets, lr, rng)
+            _fetch_scalar(l0)
+            box = {"state": st}
+
+            def dispatch(i):
+                box["state"], loss = jstep(
+                    box["state"], graph, targets, lr,
+                    jax.random.fold_in(rng, i))
+                return loss
+
+            steady_s = steady_state_time(dispatch, steps=32, base=4)
+
+    step_s = timing.step_s
+    check = _cross_check(step_s, steady_s)
+
+    # Roofline: analytic FLOPs vs measured time must respect chip peak.
+    roof = roofline.analyze(
+        layer_type=layer_type, num_layers=num_layers, hidden_dim=hidden_dim,
+        n_nodes=graph.n_nodes, n_edges=graph.n_edges, time_s=step_s,
+        mode=mode, heads=mcfg.heads, param_count=n_params,
+        graph_bytes=roofline.graph_static_bytes(graph),
+        use_edge_attr=mcfg.use_edge_attr,
+    )
+    roofline.check_roofline(roof["matmul_flops"], step_s)
+
+    msgs_per_sec = edge_messages / step_s
     device = jax.devices()[0]
     return {
         "metric": "edge_messages_per_sec_per_chip",
@@ -204,10 +379,19 @@ def run_benchmark(
         "compute_dtype": compute_dtype,
         "n_edges": graph.n_edges,
         "n_nodes": graph.n_nodes,
-        "step_median_s": stats["median_s"],
-        "step_min_s": stats["min_s"],
-        "steps_per_sec": 1.0 / stats["median_s"],
+        "n_params": n_params,
+        "step_median_s": step_s,
+        "step_min_s": step_s,
+        "step_steady_s": steady_s,
+        "steps_per_sec": 1.0 / step_s,
         "device": str(device),
         "platform": device.platform,
         "timing": "chained_marginal",
+        "timing_detail": timing.to_dict(),
+        "cross_check": check,
+        "matmul_flops": roof["matmul_flops"],
+        "mfu": roof["mfu"],
+        "bound": roof["bound"],
+        "flops_per_sec": roof["flops_per_sec"],
+        "roofline_min_s": roof.get("roofline_min_s"),
     }

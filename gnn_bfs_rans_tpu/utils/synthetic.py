@@ -128,7 +128,7 @@ def run_partition_shard_benchmark(
     def apply_fn(p):
         return fwd(state.params, state.batch_stats, p)
 
-    step_s = chained_marginal_time(apply_fn, pg, reps=max(steps, 8))
+    step_s = chained_marginal_time(apply_fn, pg, reps=max(steps, 8)).step_s
     msgs = num_layers * graph.n_edges
     return {
         "metric": "edge_messages_per_sec_per_chip",
@@ -202,7 +202,7 @@ def run_scale_benchmark(
                 g, train=False,
             )
 
-        step_s = chained_marginal_time(apply_fn, graph, reps=max(steps, 8))
+        step_s = chained_marginal_time(apply_fn, graph, reps=max(steps, 8)).step_s
     else:
         raw_step = make_train_step(model, tcfg, jit=False)
         targets = jax.device_put(

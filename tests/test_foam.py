@@ -185,3 +185,150 @@ class TestTokenizerFuzz:
         np.testing.assert_allclose(
             vals, [1e-30, -2.5e10, 3.0, -0.04, 0.5]
         )
+
+
+class TestBoundaryParser:
+    """Brace-balance-aware boundary parsing (VERDICT r3 item 7).
+
+    The reference's flat regex (`openfoam_loader.py:94-112`, `[^{}]*`) cannot
+    parse a patch entry containing a nested `{}` dictionary; ours must.
+    """
+
+    HEADER = (
+        "FoamFile\n{\n    version     2.0;\n    format      ascii;\n"
+        "    class       polyBoundaryMesh;\n    object      boundary;\n}\n"
+    )
+
+    def _write_boundary(self, tmp_path, body):
+        pm = tmp_path / "constant" / "polyMesh"
+        pm.mkdir(parents=True)
+        (pm / "boundary").write_text(self.HEADER + body)
+        # minimal sibling files so FoamCase paths resolve
+        return tmp_path
+
+    def test_nested_dict_patch(self, tmp_path):
+        from gnn_bfs_rans_tpu.foam.reader import FoamCase
+
+        body = """
+3
+(
+    inlet
+    {
+        type            patch;
+        nFaces          30;
+        startFace       24170;
+    }
+    procBoundary0to1
+    {
+        type            processor;
+        inGroups        1(processor);
+        nFaces          57;
+        startFace       24200;
+        transform
+        {
+            type        coincidentFullMatch;
+            origin      (0 0 0);
+        }
+        matchTolerance  0.0001;
+    }
+    walls
+    {
+        type            wall;
+        nFaces          223;
+        startFace       24257;
+    }
+)
+"""
+        case = FoamCase(self._write_boundary(tmp_path, body))
+        patches = case.read_boundary()
+        assert set(patches) == {"inlet", "procBoundary0to1", "walls"}
+        p = patches["procBoundary0to1"]
+        assert p.type == "processor"
+        assert p.n_faces == 57 and p.start_face == 24200
+        # the nested transform dict must not eat the trailing flat keys
+        assert patches["walls"].n_faces == 223
+
+    def test_deeply_nested_and_quoted_names(self, tmp_path):
+        from gnn_bfs_rans_tpu.foam.reader import FoamCase
+
+        body = """
+1
+(
+    "wall.*"
+    {
+        type            wall;
+        meta { a { b 1; } c 2; }
+        nFaces          5;
+        startFace       7;
+    }
+)
+"""
+        case = FoamCase(self._write_boundary(tmp_path, body))
+        patches = case.read_boundary()
+        assert patches["wall.*"].n_faces == 5
+
+    def test_parse_foam_dict_structure(self):
+        from gnn_bfs_rans_tpu.foam.reader import parse_foam_dict
+
+        kv, sub = parse_foam_dict(
+            "a 1;\nouter { x 2; inner { y 3; } z 4; }\nb 5;"
+        )
+        assert kv == {"a": "1", "b": "5"}
+        assert sub["outer"]["x"] == "2"
+        assert sub["outer"]["z"] == "4"
+        assert sub["outer"]["inner.y"] == "3"
+
+    def test_truncated_entry_ignored(self):
+        from gnn_bfs_rans_tpu.foam.reader import parse_foam_dict
+
+        kv, sub = parse_foam_dict("a 1;\nbroken { x 2;")
+        assert kv["a"] == "1"
+        assert "broken" not in sub
+
+    def test_bfs_case_unchanged(self, bfs_mesh):
+        # golden patch set from the bundled case still parses identically
+        assert set(bfs_mesh.boundaries) == {
+            "inlet", "outlet", "upperWall", "lowerWall", "frontAndBack",
+        }
+
+
+class TestReaderWriterFuzz:
+    def test_generated_case_roundtrip(self, tmp_path):
+        """Property: write fields for a generated case, re-read, bit-compare;
+        and the generated boundary file parses with consistent face spans."""
+        from gnn_bfs_rans_tpu.foam import FoamCase, save_fields_openfoam_format
+        from gnn_bfs_rans_tpu.foam.casegen import generate_box_case
+
+        rng = np.random.default_rng(7)
+        case_dir = tmp_path / "box"
+        generate_box_case(case_dir, nx=4, ny=3, nz=2)
+        case = FoamCase(case_dir)
+        mesh = case.load_mesh()
+        n = mesh.n_cells
+
+        for trial in range(3):
+            fields = {
+                "U": rng.normal(size=(n, 3)) * 10.0 ** float(rng.integers(-3, 3)),
+                "p": rng.normal(size=(n, 1)),
+                "k": np.abs(rng.normal(size=(n, 1))) * 1e-6,
+                "epsilon": np.abs(rng.normal(size=(n, 1))) * 1e8,
+                "nut": np.zeros((n, 1)),
+            }
+            out = save_fields_openfoam_format(
+                fields, case_dir, f"fuzz{trial}")
+            got_u = case.read_vector_field(f"fuzz{trial}", "U")
+            got_p = case.read_scalar_field(f"fuzz{trial}", "p")
+            got_eps = case.read_scalar_field(f"fuzz{trial}", "epsilon")
+            np.testing.assert_allclose(got_u, fields["U"], rtol=1e-6)
+            np.testing.assert_allclose(got_p, fields["p"][:, 0], rtol=1e-6)
+            np.testing.assert_allclose(got_eps, fields["epsilon"][:, 0], rtol=1e-6)
+
+        # boundary spans tile the non-internal face range exactly
+        spans = sorted(
+            (p.start_face, p.start_face + p.n_faces)
+            for p in mesh.boundaries.values()
+        )
+        assert spans[0][0] == mesh.n_internal_faces
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c
+        assert spans[-1][1] == mesh.n_faces

@@ -65,7 +65,7 @@ def main():
                 g, train=False,
             )
 
-        t = chained_marginal_time(apply_fn, graph, reps=args.reps)
+        t = chained_marginal_time(apply_fn, graph, reps=args.reps).step_s
         results["fuse_eval" if fuse else "unfused"] = t
         print(f"{'fuse_eval' if fuse else 'unfused':10s} {t*1e3:7.3f} ms fwd",
               flush=True)
