@@ -1,0 +1,322 @@
+"""Fused training epilogue: residual + BatchNorm + ReLU + dropout, custom VJP.
+
+Semantics preserved exactly from the reference's per-layer block
+(``/root/reference/gnn_model.py:184-192``: residual add → BatchNorm → ReLU →
+dropout) as implemented by ``models.flow_gnn`` +
+``models.norm.MaskedBatchNorm`` — including the bf16 mean-centering trick
+(normalize as ``(x − m̃)·a + b̃`` entirely in x.dtype, which analytically
+equals standard BN ``(x − μ)·γ/σ + β``).
+
+Why a kernel (VERDICT r3 item 2 / ROADMAP r3 item 3): at 1M cells the
+XLA-autodiff epilogue stores a dropout mask, a ReLU predicate, and f32
+normalization intermediates per layer — several full [N, H] HBM round trips
+in the forward and again in the backward.  This op keeps ONE residual
+(``xr``, in compute dtype) plus the per-channel stat vectors:
+
+* forward: stats via one fused XLA reduction over ``xr``, then a single
+  Pallas pass computing normalize+ReLU+dropout with the in-kernel PRNG
+  (Mosaic on TPU, counter-hash in interpret mode — same replay contract as
+  ``kernels.banded``); no masks are ever materialized.
+* backward: two Pallas passes — (1) recompute masks from (xr, stats, seed)
+  and emit the two per-channel reduction partials BN needs (which are also
+  exactly dscale/dbias), (2) combine with the reduced scalars into dxr.
+
+Gradient math (derived from the affine-form forward; sums run over ALL rows
+— pad rows contribute through the affine exactly as in the unfused path,
+the masked count n enters only via the 1/n stat terms):
+
+    g1      = g ⊙ dropmask/(1−rate) ⊙ [y_pre > 0]
+    G1      = Σ_rows g1            (= dbias)
+    G2      = Σ_rows g1 ⊙ x̂       (= dscale),  x̂ = (xr − μ)·inv_std
+    dxr_j   = a·(g1_j − G1/n − x̂_j·G2/n)   for real rows (j < n_valid)
+    dxr_j   = a·g1_j                         for pad rows
+    a       = γ·inv_std
+
+``dx = dx_new = dxr`` (residual fan-in).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .banded import (
+    _dropout_bits,
+    _dropout_thresh,
+    _prng_seed,
+    _use_interpret,
+)
+
+# vec row layout ([8, C] float32, 8 = f32 sublane tile):
+_MEAN, _EFF_SCALE, _EFF_BIAS, _INV_STD, _G1N, _G2N = 0, 1, 2, 3, 4, 5
+
+
+def _pick_block(n_pad: int, feat: int) -> int:
+    """Rows per grid step: the largest 8-aligned divisor of ``n_pad`` whose
+    block stays ≤ ~1 MiB.  A general divisor search matters: a padded size
+    like 1,000,064 = 2⁷·13·601 has no power-of-two divisor above 128, and
+    128-row blocks mean ~8k grid steps of pure overhead per kernel (measured
+    as a 15 ms/step regression at 1M cells); 1,664 divides it."""
+    cap = max(512 * 1024 // feat, 8)  # ≤512k elements per block
+    best = 8
+    for b in range(8, min(cap, n_pad) + 1, 8):
+        if n_pad % b == 0:
+            best = b
+    return best
+
+
+def _affine_relu(xr, vec_ref):
+    """y_pre = (xr − m̃)·a + b̃ in xr.dtype (MaskedBatchNorm's exact form)."""
+    dt = xr.dtype
+    mean_lo = vec_ref[_MEAN, :].astype(dt)
+    es = vec_ref[_EFF_SCALE, :].astype(dt)
+    eb = vec_ref[_EFF_BIAS, :].astype(dt)
+    y_pre = (xr - mean_lo[None, :]) * es[None, :] + eb[None, :]
+    return y_pre
+
+
+def _drop_keep(shape, rate: float, seed_ref):
+    """Dropout keep-mask bits for this grid step (replayed by the backward)."""
+    sv = seed_ref[0] + pl.program_id(0)
+    _prng_seed(sv)
+    bits = _dropout_bits(shape, sv)
+    return bits >= _dropout_thresh(rate)
+
+
+def _relu_pred(y_pre):
+    # the comparison runs in f32: Mosaic on v5e rejects bf16 compares
+    # ("Target does not support this comparison")
+    return y_pre.astype(jnp.float32) > 0.0
+
+
+def _res_stats_kernel(n_valid: int, block: int, x_ref, xn_ref,
+                      xr_ref, p_ref):
+    """xr = x + x_new, plus masked moment partials (Σxr, Σxr²) per block.
+
+    Fusing the residual write with the stats read avoids both a separate
+    XLA reduction pass and the unaligned-slice copy ``xr[:n_valid]`` forces.
+    Variance later forms as E[x²]−E[x]² from the two-level partial sums
+    (block-exact f32 inner sums), which is well-conditioned for post-BN
+    activations (|mean| ≲ σ).
+    """
+    xr = x_ref[:] + xn_ref[:]
+    xr_ref[:] = xr
+    xf = xr.astype(jnp.float32)
+    row0 = pl.program_id(0) * block
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
+    xf = jnp.where(rows < n_valid, xf, 0.0)
+    feat = xf.shape[1]
+    p_ref[0, :, :] = jnp.concatenate(
+        [jnp.sum(xf, axis=0)[None, :],
+         jnp.sum(xf * xf, axis=0)[None, :],
+         jnp.zeros((6, feat), jnp.float32)], axis=0)
+
+
+def _fwd_kernel(rate: float, seed_ref, xr_ref, vec_ref, y_ref):
+    y_pre = _affine_relu(xr_ref[:], vec_ref)
+    y = jnp.where(_relu_pred(y_pre), y_pre, jnp.zeros_like(y_pre))
+    if rate > 0:
+        keep = _drop_keep(y.shape, rate, seed_ref)
+        y = jnp.where(keep, y * (1.0 / (1.0 - rate)), 0.0).astype(y.dtype)
+    y_ref[:] = y
+
+
+def _g1(rate: float, seed_ref, g_ref, xr_ref, vec_ref):
+    """Recompute g1 = g ⊙ dropmask/(1−rate) ⊙ [y_pre > 0] for this block."""
+    y_pre = _affine_relu(xr_ref[:], vec_ref)
+    g = g_ref[:]
+    if rate > 0:
+        keep = _drop_keep(g.shape, rate, seed_ref)
+        g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0).astype(g.dtype)
+    return jnp.where(_relu_pred(y_pre), g, jnp.zeros_like(g))
+
+
+def _bwd_partials_kernel(rate: float, seed_ref, g_ref, xr_ref, vec_ref,
+                         p_ref):
+    # partials land in an [8, C] sublane-aligned tile per block (Mosaic
+    # requires the last two block dims divisible by (8, 128)): row 0 = Σg1,
+    # row 1 = Σ g1·x̂, rows 2-7 zero
+    g1 = _g1(rate, seed_ref, g_ref, xr_ref, vec_ref).astype(jnp.float32)
+    xhat = (
+        (xr_ref[:].astype(jnp.float32) - vec_ref[_MEAN, :][None, :])
+        * vec_ref[_INV_STD, :][None, :]
+    )
+    feat = g1.shape[1]
+    p_ref[0, :, :] = jnp.concatenate(
+        [jnp.sum(g1, axis=0)[None, :],
+         jnp.sum(g1 * xhat, axis=0)[None, :],
+         jnp.zeros((6, feat), jnp.float32)], axis=0)
+
+
+def _bwd_dx_kernel(rate: float, n_valid: int, block: int, seed_ref,
+                   g_ref, xr_ref, vec_ref, dx_ref):
+    g1 = _g1(rate, seed_ref, g_ref, xr_ref, vec_ref).astype(jnp.float32)
+    xf = xr_ref[:].astype(jnp.float32)
+    xhat = (xf - vec_ref[_MEAN, :][None, :]) * vec_ref[_INV_STD, :][None, :]
+    a = (vec_ref[_EFF_SCALE, :])[None, :]
+    stat = vec_ref[_G1N, :][None, :] + xhat * vec_ref[_G2N, :][None, :]
+    # pad rows get only the direct affine term (stats don't depend on them)
+    row0 = pl.program_id(0) * block
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, g1.shape, 0)
+    dx = a * jnp.where(rows < n_valid, g1 - stat, g1)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _row_specs(block: int, feat: int):
+    return pl.BlockSpec((block, feat), lambda i: (i, 0))
+
+
+def _vec_spec(feat: int):
+    return pl.BlockSpec((8, feat), lambda i: (0, 0))
+
+
+def _seed_arg(seed):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return seed, pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _make_vec(mean, var, scale, bias, eps, dtype, g1n=None, g2n=None):
+    """Pack the per-channel stat/affine rows into one [8, C] f32 array."""
+    inv = jax.lax.rsqrt(var + eps)
+    eff_scale = scale * inv
+    mean_lo = mean.astype(dtype).astype(jnp.float32)  # m̃ as representable
+    eff_bias = bias + (mean_lo - mean) * eff_scale
+    feat = mean.shape[0]
+    zeros = jnp.zeros((feat,), jnp.float32)
+    rows = [mean, eff_scale, eff_bias, inv,
+            zeros if g1n is None else g1n,
+            zeros if g2n is None else g2n,
+            zeros, zeros]
+    return jnp.stack(rows)  # [8, C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_epilogue(x, x_new, scale, bias, seed,
+                   n_valid: int, rate: float, eps: float):
+    """y = dropout(relu(BN_train(x + x_new))); returns (y, mean, var).
+
+    ``n_valid``: static count of real (non-pad) rows — statistics run over
+    rows [0, n_valid).  ``seed``: [1] int32 for the in-kernel dropout PRNG
+    (ignored when rate == 0).  mean/var are the biased batch statistics
+    (f32 [C]) for the caller's running-stats EMA; they carry no gradient.
+    """
+    y, mean, var, _ = _fused_fwd_impl(x, x_new, scale, bias, seed,
+                                      n_valid, rate, eps)
+    return y, mean, var
+
+
+def _fused_fwd_impl(x, x_new, scale, bias, seed, n_valid, rate, eps):
+    # mixed input dtypes promote as in the unfused path
+    xr_dtype = jnp.promote_types(x.dtype, x_new.dtype)
+    n_pad, feat = x.shape
+    block = _pick_block(n_pad, feat)
+    grid = (n_pad // block,)
+    xr, partials = pl.pallas_call(
+        functools.partial(_res_stats_kernel, n_valid, block),
+        grid=grid,
+        in_specs=[_row_specs(block, feat), _row_specs(block, feat)],
+        out_specs=[_row_specs(block, feat),
+                   pl.BlockSpec((1, 8, feat), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, feat), xr_dtype),
+                   jax.ShapeDtypeStruct((grid[0], 8, feat), jnp.float32)],
+        interpret=_use_interpret(),
+    )(x.astype(xr_dtype), x_new.astype(xr_dtype))
+    n = jnp.float32(n_valid)
+    mean = jnp.sum(partials[:, 0, :], axis=0) / n
+    var = jnp.maximum(
+        jnp.sum(partials[:, 1, :], axis=0) / n - mean * mean, 0.0)
+    vec = _make_vec(mean, var, scale.astype(jnp.float32),
+                    bias.astype(jnp.float32), eps, xr.dtype)
+    seed_in, seed_spec = _seed_arg(seed)
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, rate),
+        grid=grid,
+        in_specs=[seed_spec, _row_specs(block, feat), _vec_spec(feat)],
+        out_specs=_row_specs(block, feat),
+        out_shape=jax.ShapeDtypeStruct((n_pad, feat), xr.dtype),
+        interpret=_use_interpret(),
+    )(seed_in, xr, vec)
+    # dtype placeholders: residual leaves must be JAX values, so the primal
+    # dtypes ride along as zero-size arrays
+    return y, mean, var, (xr, vec, seed_in,
+                          jnp.zeros((0,), x.dtype), jnp.zeros((0,), x_new.dtype))
+
+
+def _fused_vjp_fwd(x, x_new, scale, bias, seed, n_valid, rate, eps):
+    y, mean, var, res = _fused_fwd_impl(x, x_new, scale, bias, seed,
+                                        n_valid, rate, eps)
+    return (y, mean, var), res
+
+
+def _fused_vjp_bwd(n_valid, rate, eps, res, cts):
+    g, _g_mean, _g_var = cts  # mean/var are stats outputs: no gradient
+    xr, vec, seed_in, x_dt, xn_dt = res
+    x_dt, xn_dt = x_dt.dtype, xn_dt.dtype
+    n_pad, feat = xr.shape
+    block = _pick_block(n_pad, feat)
+    grid = (n_pad // block,)
+    _, seed_spec = _seed_arg(None)
+
+    partials = pl.pallas_call(
+        functools.partial(_bwd_partials_kernel, rate),
+        grid=grid,
+        in_specs=[seed_spec, _row_specs(block, feat),
+                  _row_specs(block, feat), _vec_spec(feat)],
+        out_specs=pl.BlockSpec((1, 8, feat), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, feat), jnp.float32),
+        interpret=_use_interpret(),
+    )(seed_in, g, xr, vec)
+    g1_sum = jnp.sum(partials[:, 0, :], axis=0)   # = dbias
+    g2_sum = jnp.sum(partials[:, 1, :], axis=0)   # = dscale
+
+    n = jnp.float32(n_valid)
+    vec2 = vec.at[_G1N].set(g1_sum / n).at[_G2N].set(g2_sum / n)
+    dxr = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, rate, n_valid, block),
+        grid=grid,
+        in_specs=[seed_spec, _row_specs(block, feat),
+                  _row_specs(block, feat), _vec_spec(feat)],
+        out_specs=_row_specs(block, feat),
+        out_shape=jax.ShapeDtypeStruct((n_pad, feat), xr.dtype),
+        interpret=_use_interpret(),
+    )(seed_in, g, xr, vec2)
+
+    dscale = g2_sum.astype(jnp.float32)
+    dbias = g1_sum.astype(jnp.float32)
+    dseed = np.zeros(seed_in.shape, jax.dtypes.float0)
+    # residual fan-in: both inputs get dxr, cast to their own dtypes (the
+    # add's promotion backward, exactly as the unfused path)
+    return dxr.astype(x_dt), dxr.astype(xn_dt), dscale, dbias, dseed
+
+
+fused_epilogue.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def reference_epilogue(x, x_new, scale, bias, mask, rate, eps, rng=None):
+    """Unfused jnp reference (exact MaskedBatchNorm-train + relu + dropout
+    composition from models.flow_gnn) — ground truth for the parity tests.
+    Uses a jax PRNG for dropout, so streams differ from the kernel; compare
+    with rate=0 for values, or check keep-rate/replay properties for rate>0.
+    """
+    xr = x + x_new
+    xf = xr.astype(jnp.float32)
+    m = mask.astype(jnp.float32)[:, None]
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(xf * m, axis=0) / count
+    var = jnp.sum(((xf - mean) ** 2) * m, axis=0) / count
+    inv = jax.lax.rsqrt(var + eps)
+    eff_scale = scale * inv
+    mean_lo = mean.astype(xr.dtype)
+    eff_bias = bias + (mean_lo.astype(jnp.float32) - mean) * eff_scale
+    y = (xr - mean_lo) * eff_scale.astype(xr.dtype) + eff_bias.astype(xr.dtype)
+    y = jax.nn.relu(y)
+    if rate > 0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1 - rate, y.shape)
+        y = jnp.where(keep, y / (1 - rate), 0).astype(y.dtype)
+    return y, mean, var

@@ -79,7 +79,11 @@ class GCNConv(nn.Module):
                 and graph.band.gcn is not None):
             # band.gcn already carries D̂^-1/2 (A+I) D̂^-1/2 incl. self-loops
             from ..kernels.banded import banded_spmm
-            return banded_spmm(graph.band.gcn, h) + bias
+            # bias in the compute dtype: a raw f32-param add would
+            # promote every inter-layer activation to f32 (measured as
+            # add_convert fusions + doubled epilogue HBM traffic at 1M)
+            out = banded_spmm(graph.band.gcn, h)
+            return out + bias.astype(out.dtype)
 
         deg_hat = graph.in_degree + 1.0  # self-loop counted
         inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg_hat, 1.0))
@@ -100,7 +104,7 @@ class GCNConv(nn.Module):
 
         # self-loop contribution: 1/deĝ_i
         agg = agg + h * (inv_sqrt * inv_sqrt)[:, None]
-        return agg + bias
+        return agg + bias.astype(agg.dtype)
 
 
 class GATConv(nn.Module):
@@ -170,7 +174,7 @@ class GATConv(nn.Module):
                 H, self.negative_slope, rate, seed,
             )
             bias = self.param("bias", nn.initializers.zeros, (C,))
-            return out2d + bias
+            return out2d + bias.astype(out2d.dtype)
 
         z2d = lin(x)
         att_src = self.param(
@@ -285,7 +289,7 @@ class GATConv(nn.Module):
         else:
             out = out2d if out2d is not None else out.mean(axis=1)
             bias = self.param("bias", nn.initializers.zeros, (C,))
-        return out + bias
+        return out + bias.astype(out.dtype)
 
 
 def _dropout_seed(rng: jax.Array) -> jax.Array:

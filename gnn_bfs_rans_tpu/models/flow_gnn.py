@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from ..graph.structs import Graph
 from .convs import CONV_REGISTRY, _lecun_linear
-from .norm import MaskedBatchNorm
+from .norm import FusedEpilogueBN, MaskedBatchNorm
 
 FIELD_NAMES = ("U", "p", "k", "epsilon", "nut")
 FIELD_SLICES = {"U": (0, 3), "p": (3, 4), "k": (4, 5), "epsilon": (5, 6), "nut": (6, 7)}
@@ -63,6 +63,12 @@ class ModelConfig:
     # Default ON: measured 3.71 → 3.16 ms/step (1.17×) on the flagship GAT
     # train config (tools/profile_fuse_train.py, artifacts/fuse_train_ab.json).
     fuse_train: bool = True
+    # Fused residual+BN+ReLU+dropout training epilogue (kernels.epilogue):
+    # ONE Pallas pass replaces the XLA chain, and the custom VJP stores only
+    # the residual sum — no dropout/ReLU masks, no f32 normalization
+    # intermediates.  Training-path only (eval keeps the running-stats
+    # affine); applies when backend='pallas' and norm_type='batch'.
+    fuse_epilogue: bool = True
     # Rematerialize each conv under jax.checkpoint: activations inside the
     # conv are recomputed in the backward instead of stored.  Mostly
     # obsolete for the GAT fuse_train path: its custom VJP keeps only conv
@@ -123,6 +129,21 @@ class FlowGNN(nn.Module):
                 call_args = (not train,)
             layer = conv_cls(**kwargs)
             x_new = layer(x, graph, *call_args)
+
+            fused_ep = (
+                cfg.fuse_epilogue
+                and train
+                and cfg.backend == "pallas"
+                and cfg.use_batch_norm
+                and cfg.norm_type == "batch"
+            )
+            if fused_ep:
+                # residual→BN→ReLU→dropout in one kernel (gnn_model.py:184-192);
+                # same param/variable names as the unfused path below
+                x = FusedEpilogueBN(
+                    cfg.hidden_dim, rate=cfg.dropout, name=f"bn_{i}"
+                )(x, x_new, graph.n_nodes, train)
+                continue
 
             x = x + x_new  # residual (gnn_model.py:184)
             if cfg.use_batch_norm and cfg.norm_type == "batch":

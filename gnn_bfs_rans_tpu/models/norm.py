@@ -83,3 +83,74 @@ class MaskedBatchNorm(nn.Module):
         return (x - mean_lo) * eff_scale.astype(x.dtype) + eff_bias.astype(
             x.dtype
         )
+
+
+class FusedEpilogueBN(nn.Module):
+    """Residual + BatchNorm + ReLU + dropout as ONE fused op (training path).
+
+    Drop-in replacement for the per-layer epilogue block in
+    ``models.flow_gnn`` (reference semantics ``gnn_model.py:184-192``),
+    dispatching to :func:`kernels.epilogue.fused_epilogue` — a Pallas
+    kernel with a custom VJP that stores only the residual sum instead of
+    dropout/ReLU masks and f32 normalization intermediates (VERDICT r3
+    item 2).  Parameter/variable names match ``MaskedBatchNorm`` exactly
+    (``scale``/``bias`` + ``batch_stats.{mean,var}``), so checkpoints are
+    interchangeable with the unfused path; instantiate with the same
+    ``name="bn_<i>"``.
+
+    Eval mode and initialization use the unfused affine (running stats, no
+    dropout) — the fused kernel covers exactly the hot training step.
+    """
+
+    features: int
+    rate: float = 0.0
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        x_new: jax.Array,
+        n_valid: int,
+        train: bool,
+    ) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features)
+        )
+
+        if not train or self.is_initializing():
+            # eval / init: running-stats affine + relu, dropout off — the
+            # exact MaskedBatchNorm eval composition
+            xr = x + x_new
+            mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.eps)
+            eff_scale = scale * inv
+            mean_lo = mean.astype(xr.dtype)
+            eff_bias = bias + (mean_lo.astype(jnp.float32) - mean) * eff_scale
+            y = (xr - mean_lo) * eff_scale.astype(xr.dtype) + eff_bias.astype(
+                xr.dtype
+            )
+            return jax.nn.relu(y)
+
+        from ..kernels.epilogue import fused_epilogue
+
+        seed = None
+        if self.rate > 0:
+            from .convs import _dropout_seed
+
+            seed = _dropout_seed(self.make_rng("dropout"))
+        y, mean, var = fused_epilogue(
+            x, x_new, scale, bias, seed, n_valid, float(self.rate),
+            float(self.eps),
+        )
+        count = jnp.float32(n_valid)
+        unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+        ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+        ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        return y

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no_fuse_epilogue", action="store_true",
+                    help="A/B arm: disable the fused residual+BN+ReLU+"
+                         "dropout training epilogue (kernels.epilogue)")
     ap.add_argument("--out", default="artifacts/scale_1m_train.json")
     args = ap.parse_args()
 
@@ -59,7 +62,7 @@ def main():
     mcfg = ModelConfig(
         hidden_dim=args.hidden, num_layers=args.layers, layer_type="GAT",
         backend="pallas", dropout=args.dropout, compute_dtype="bfloat16",
-        remat=args.remat,
+        remat=args.remat, fuse_epilogue=not args.no_fuse_epilogue,
     )
     tcfg = TrainConfig()
     model = FlowGNN(mcfg)

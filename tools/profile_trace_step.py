@@ -97,6 +97,7 @@ def main():
     dev_pids = {p for p, name in pids.items()
                 if name and ("TPU" in name or "device" in name.lower())}
     dur = collections.Counter()
+    detail: dict[str, str] = {}
     total = 0.0
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
@@ -107,12 +108,17 @@ def main():
                 continue
             dur[name] += d
             total += d
+            eargs = e.get("args") or {}
+            info = eargs.get("long_name") or eargs.get("hlo_op") or ""
+            if info and name not in detail:
+                detail[name] = str(info)[:300]
     per_step = {k: v / args.steps for k, v in dur.items()}
     print(f"\ndevice total {total/args.steps/1e3:.2f} ms/step over "
           f"{args.steps} steps; top ops:", flush=True)
     top = sorted(per_step.items(), key=lambda kv: -kv[1])[: args.top]
     for name, us in top:
-        print(f"{us/1e3:9.3f} ms  {name[:110]}", flush=True)
+        extra = detail.get(name, "")
+        print(f"{us/1e3:9.3f} ms  {name[:60]}  {extra[:140]}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
@@ -122,6 +128,7 @@ def main():
             "dropout": args.dropout, "steps": args.steps,
             "device_total_ms_per_step": total / args.steps / 1e3,
             "top_ops_us_per_step": dict(top),
+            "op_detail": {k: detail.get(k, "") for k, _ in top},
         }, f, indent=1)
     print("wrote", args.out, flush=True)
 
