@@ -336,12 +336,20 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
     if fuse_proj:
         w_ref = refs[i0 + 1]                                # [F, HC]
         i0 += 1
-    asrc = refs[i0 + 1:i0 + 1 + span]                       # span × [sub, H]
-    adst_ref = refs[i0 + 1 + span]                          # [G·T, H]
+    # PACKED alphas ([:, :H]=src, [:, H:]=dst): span × [sub, 2H] windowed
+    # blocks for the sender side + one direct [G·T, 2H] block for the
+    # receiver side.  One packed array instead of split src/dst halves:
+    # f32[N, H] tensors tile to T(8,128) (lanes padded H→128, 16-32×), so
+    # the XLA split this interface avoids was ~3.1 ms/layer at 1M cells
+    # (round-4 trace, fusion.452-455).  src slices at lane offset 0 (free);
+    # dst pays one lane-offset slice per group iteration.
+    aps = refs[i0 + 1:i0 + 1 + span]
+    apd_ref = refs[i0 + 1 + span]                           # [G·T, 2H]
+    i0 += span + 1
     # span × [sub, HC] value blocks — or [sub, F] node-feature blocks when
     # the projection is fused (z_j computed in VMEM below)
-    zs = refs[i0 + 2 + span:i0 + 2 + 2 * span]
-    o_ref = refs[i0 + 2 + 2 * span]                         # [G·T, HC]
+    zs = refs[i0 + 1:i0 + 1 + span]
+    o_ref = refs[i0 + 1 + span]                             # [G·T, HC]
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
     if fuse_proj:
@@ -358,13 +366,12 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
     else:
         zs = [z[:] for z in zs]
         c = zs[0].shape[1] // heads
+    ap_blocks = [a[:].astype(jnp.float32) for a in aps]
     for g in range(group):
         bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
-        # alpha tiles load as float32: logits accumulate in f32 anyway, and
-        # Mosaic rejects some bf16 sublane-broadcast patterns on [T, H]
-        adst = adst_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
+        adst = apd_ref[g * tile:(g + 1) * tile, heads:].astype(jnp.float32)
         asrc_cat = jnp.concatenate(
-            [asrc[g * r + k][:].astype(jnp.float32) for k in range(window)],
+            [ap_blocks[g * r + k][:, :heads] for k in range(window)],
             axis=0)                                         # [Wcols, H]
         zcat = jnp.concatenate(
             [zs[g * r + k] for k in range(window)], axis=0)  # [Wcols, HC]
@@ -433,8 +440,7 @@ def _seed_inputs(dropout_rate: float, seed):
 def banded_gat_fwd(
     bias_self: jax.Array,
     z: jax.Array,          # [N, H*C] per-head values (flattened)
-    alpha_src: jax.Array,  # [N, H]
-    alpha_dst: jax.Array,  # [N, H]
+    alphas: jax.Array,     # [N, 2H] PACKED ([:, :H]=src, [:, H:]=dst)
     heads: int,
     negative_slope: float = 0.2,
     dropout_rate: float = 0.0,
@@ -445,17 +451,20 @@ def banded_gat_fwd(
 
     Returns [N, H*C], or the head mean [N, C] when ``mean_heads`` (the
     reference's ``concat=False`` epilogue, fused — see kernel comment).
+    ``alphas`` is packed src|dst: the kernel slices in VMEM, so the caller
+    never splits the narrow array in HBM (see the packed-alpha note in
+    ``_gat_kernel``).
     """
     n_tiles, tile, width = bias_self.shape
     sub = tile // 2
     w_sub = width // sub
     r = tile // sub
     hc = z.shape[1]
-    h = alpha_src.shape[1]
+    h2 = alphas.shape[1]
     out_feat = hc // heads if mean_heads else hc
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
-        feat_bytes=hc * z.dtype.itemsize + h * alpha_src.dtype.itemsize,
+        feat_bytes=hc * z.dtype.itemsize + h2 * alphas.dtype.itemsize,
         scratch_bytes_per_tile=(
             2 * heads * tile * width * 4
             if z.dtype == jnp.float32 else 0),
@@ -474,9 +483,9 @@ def banded_gat_fwd(
             *seed_specs,
             pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(w_sub, tile, h, n_tiles, group, sub),
-            # alpha_dst addresses the receiver tiles directly
-            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
+            *_clamped_window_specs(w_sub, tile, h2, n_tiles, group, sub),
+            # receiver-side packed alphas address the group tiles directly
+            pl.BlockSpec((group * tile, h2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
         ],
@@ -490,7 +499,7 @@ def banded_gat_fwd(
             transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_self, *([alpha_src] * span), alpha_dst, *([z] * span))
+    )(*seed_in, bias_self, *([alphas] * span), alphas, *([z] * span))
 
 
 # ------------------------------------------------- Transformer attention
@@ -805,74 +814,95 @@ def _zero_cot(x):
 # masks are constants of the static graph, so only the feature inputs carry
 # cotangents).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2,
-               dropout_rate=0.0, seed=None):
-    return banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def banded_gat_packed(bias_self, z, alphas, heads, negative_slope=0.2,
+                      dropout_rate=0.0, seed=None):
+    """Differentiable fused GAT with PACKED alphas [N, 2H] (src|dst)."""
+    return banded_gat_fwd(bias_self, z, alphas, heads,
                           negative_slope, dropout_rate, seed)
 
 
-def _gat_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope,
+def _gat_vjp_fwd(bias_self, z, alphas, heads, negative_slope,
                  dropout_rate, seed):
-    out = banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+    out = banded_gat_fwd(bias_self, z, alphas, heads,
                          negative_slope, dropout_rate, seed)
-    return out, (bias_self, z, alpha_src, alpha_dst, seed)
+    return out, (bias_self, z, alphas, seed)
 
 
 def _gat_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd
 
-    bias_self, z, alpha_src, alpha_dst, seed = res
-    dz, ds, dd = banded_gat_bwd(
-        bias_self, z, alpha_src, alpha_dst, g, heads, negative_slope,
+    bias_self, z, alphas, seed = res
+    dz, da = banded_gat_bwd(
+        bias_self, z, alphas, g, heads, negative_slope,
         dropout_rate=dropout_rate, seed=seed,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
-    return _zero_cot(bias_self), dz, ds, dd, dseed
+    return _zero_cot(bias_self), dz, da, dseed
 
 
-banded_gat.defvjp(_gat_vjp_fwd, _gat_vjp_bwd)
+banded_gat_packed.defvjp(_gat_vjp_fwd, _gat_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def banded_gat_mean(bias_self, z, alpha_src, alpha_dst, heads,
-                    negative_slope=0.2, dropout_rate=0.0, seed=None):
-    """``banded_gat`` with the head mean fused into the kernel → [N, C].
+def banded_gat(bias_self, z, alpha_src, alpha_dst, heads, negative_slope=0.2,
+               dropout_rate=0.0, seed=None):
+    """Split-alpha convenience wrapper over :func:`banded_gat_packed`.
+
+    Kept for tests/tools; the model path calls the packed API directly so
+    no narrow split/concat ever materializes in HBM.
+    """
+    alphas = jnp.concatenate([alpha_src, alpha_dst], axis=1)
+    return banded_gat_packed(bias_self, z, alphas, heads, negative_slope,
+                             dropout_rate, seed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def banded_gat_mean_packed(bias_self, z, alphas, heads,
+                           negative_slope=0.2, dropout_rate=0.0, seed=None):
+    """``banded_gat_packed`` with the head mean fused → [N, C].
 
     The ``concat=False`` GAT epilogue (``gnn_model.py:77-80`` semantics:
     heads averaged).  Backward expands the [N, C] cotangent to the per-head
     layout (each head receives g/H) and reuses the fused GAT backward.
     """
-    return banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+    return banded_gat_fwd(bias_self, z, alphas, heads,
                           negative_slope, dropout_rate, seed, mean_heads=True)
 
 
-def _gatm_vjp_fwd(bias_self, z, alpha_src, alpha_dst, heads, negative_slope,
+def _gatm_vjp_fwd(bias_self, z, alphas, heads, negative_slope,
                   dropout_rate, seed):
-    out = banded_gat_fwd(bias_self, z, alpha_src, alpha_dst, heads,
+    out = banded_gat_fwd(bias_self, z, alphas, heads,
                          negative_slope, dropout_rate, seed, mean_heads=True)
-    return out, (bias_self, z, alpha_src, alpha_dst, seed)
+    return out, (bias_self, z, alphas, seed)
 
 
 def _gatm_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd
 
-    bias_self, z, alpha_src, alpha_dst, seed = res
+    bias_self, z, alphas, seed = res
     # the per-head g/H expansion happens inside the backward kernel
     # (mean_expand) — the tiled [N, H·C] cotangent never touches HBM
-    dz, ds, dd = banded_gat_bwd(
-        bias_self, z, alpha_src, alpha_dst, g.astype(z.dtype), heads,
+    dz, da = banded_gat_bwd(
+        bias_self, z, alphas, g.astype(z.dtype), heads,
         negative_slope, dropout_rate=dropout_rate, seed=seed,
         mean_expand=True,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
-    return _zero_cot(bias_self), dz, ds, dd, dseed
+    return _zero_cot(bias_self), dz, da, dseed
 
 
-banded_gat_mean.defvjp(_gatm_vjp_fwd, _gatm_vjp_bwd)
+banded_gat_mean_packed.defvjp(_gatm_vjp_fwd, _gatm_vjp_bwd)
 
 
-def banded_gat_mean_fused_fwd(bias_self, w, x, alpha_src, alpha_dst, heads,
+def banded_gat_mean(bias_self, z, alpha_src, alpha_dst, heads,
+                    negative_slope=0.2, dropout_rate=0.0, seed=None):
+    """Split-alpha convenience wrapper over :func:`banded_gat_mean_packed`."""
+    alphas = jnp.concatenate([alpha_src, alpha_dst], axis=1)
+    return banded_gat_mean_packed(bias_self, z, alphas, heads,
+                                  negative_slope, dropout_rate, seed)
+
+
+def banded_gat_mean_fused_fwd(bias_self, w, alphas, x, heads,
                               negative_slope=0.2, dropout_rate=0.0,
                               seed=None):
     """``banded_gat_mean`` with the z-projection fused into the kernel.
@@ -881,20 +911,23 @@ def banded_gat_mean_fused_fwd(bias_self, w, x, alpha_src, alpha_dst, heads,
     z = x·W inside VMEM (once per grid step, shared across the group), so
     the [N, H·C] z array never exists in HBM — removing its write+read
     round trip and the separate projection dispatch from the forward.
-    Supports in-kernel attention dropout (training path); gradients route
-    through :func:`banded_gat_mean_fused`'s custom VJP, which RE-projects z
-    in the backward instead of storing it (one extra [N,F]@[F,HC] matmul vs
-    a full z HBM round trip saved in the forward).
+    ``alphas`` is the PACKED [N, 2H] attention array (= x·(W·amat), one
+    matmul, never split in HBM).  Computing α in-kernel too was measured
+    and REJECTED: the per-block narrow matmuls serialized into the DMA
+    pipeline (+2 ms/layer at 1M cells, +10% flagship forward) — more than
+    the narrow write they saved.  Supports in-kernel attention dropout
+    (training path); gradients route through :func:`banded_gat_mean_fused`'s
+    custom VJP, which RE-projects z in the backward instead of storing it.
     """
     n_tiles, tile, width = bias_self.shape
     sub = tile // 2
     w_sub = width // sub
     r = tile // sub
     f, hc = w.shape
-    h = alpha_src.shape[1]
+    h2 = alphas.shape[1]
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
-        feat_bytes=f * x.dtype.itemsize + h * alpha_src.dtype.itemsize,
+        feat_bytes=f * x.dtype.itemsize + h2 * alphas.dtype.itemsize,
         # per-grid-step projected z blocks live in VMEM: span × [sub, HC]
         extra_in_bytes_per_tile=2 * hc * x.dtype.itemsize + 2 * f * 2,
         scratch_bytes_per_tile=(
@@ -917,8 +950,8 @@ def banded_gat_mean_fused_fwd(bias_self, w, x, alpha_src, alpha_dst, heads,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f, hc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(w_sub, tile, h, n_tiles, group, sub),
-            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
+            *_clamped_window_specs(w_sub, tile, h2, n_tiles, group, sub),
+            pl.BlockSpec((group * tile, h2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(w_sub, tile, f, n_tiles, group, sub),
         ],
@@ -932,55 +965,54 @@ def banded_gat_mean_fused_fwd(bias_self, w, x, alpha_src, alpha_dst, heads,
             transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_self, w, *([alpha_src] * span), alpha_dst,
-      *([x] * span))
+    )(*seed_in, bias_self, w, *([alphas] * span), alphas, *([x] * span))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def banded_gat_mean_fused(bias_self, w, x, alpha_src, alpha_dst, heads,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def banded_gat_mean_fused(bias_self, w, alphas, x, heads,
                           negative_slope=0.2, dropout_rate=0.0, seed=None):
     """Differentiable fused-projection GAT (head-mean epilogue).
 
-    Forward: :func:`banded_gat_mean_fused_fwd` (z projected in VMEM).
+    Forward: :func:`banded_gat_mean_fused_fwd` (z projected in VMEM, packed
+    α loaded — never split).
     Backward: z is RE-projected with the numerically identical matmul (f32
-    accumulate, cast to the primal dtype) and fed to the standard fused GAT
-    backward kernel; dx/dw are the two projection matmuls.  Net effect vs
-    the unfused path: the forward saves z's HBM write+read, the backward
-    pays one extra [N, F] @ [F, H·C] projection (ROADMAP r2 item 3 — the
-    measured A/B decides which path the flagship config uses).
+    accumulate, cast to the primal dtype) and fed to the packed-α fused GAT
+    backward kernel; dx/dw are the two projection matmuls and dα returns
+    packed.  Net effect vs the unfused path: the forward saves z's HBM
+    write+read, the backward pays one extra [N, F] @ [F, H·C] projection
+    (ROADMAP r2 item 3 — the measured A/B decides which path the flagship
+    config uses).
     """
     return banded_gat_mean_fused_fwd(
-        bias_self, w, x, alpha_src, alpha_dst, heads, negative_slope,
-        dropout_rate, seed,
+        bias_self, w, alphas, x, heads, negative_slope, dropout_rate, seed,
     )
 
 
-def _gatmf_vjp_fwd(bias_self, w, x, alpha_src, alpha_dst, heads,
+def _gatmf_vjp_fwd(bias_self, w, alphas, x, heads,
                    negative_slope, dropout_rate, seed):
     out = banded_gat_mean_fused_fwd(
-        bias_self, w, x, alpha_src, alpha_dst, heads, negative_slope,
-        dropout_rate, seed,
+        bias_self, w, alphas, x, heads, negative_slope, dropout_rate, seed,
     )
-    return out, (bias_self, w, x, alpha_src, alpha_dst, seed)
+    return out, (bias_self, w, alphas, x, seed)
 
 
 def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd
 
-    bias_self, w, x, alpha_src, alpha_dst, seed = res
+    bias_self, w, alphas, x, seed = res
     # re-project exactly as the in-kernel projection does (f32 accumulate →
     # primal dtype) so the attention recompute in the backward kernel sees
     # bit-identical z
     z = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(w.dtype)
-    dz, ds, dd = banded_gat_bwd(
-        bias_self, z, alpha_src, alpha_dst, g.astype(z.dtype), heads,
+    dz, da = banded_gat_bwd(
+        bias_self, z, alphas, g.astype(z.dtype), heads,
         negative_slope, dropout_rate=dropout_rate, seed=seed,
         mean_expand=True,
     )
     dx = jnp.dot(dz, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
     dw = jnp.dot(x.T, dz, preferred_element_type=jnp.float32).astype(w.dtype)
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
-    return _zero_cot(bias_self), dw, dx, ds, dd, dseed
+    return _zero_cot(bias_self), dw, da, dx, dseed
 
 
 banded_gat_mean_fused.defvjp(_gatmf_vjp_fwd, _gatmf_vjp_bwd)

@@ -93,8 +93,8 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
     tile = mask_ref.shape[1]
     r = tile // sub
     span = group * r + window - r
-    asrc = refs[i:i + span]; i += span           # span × [sub, H]
-    adst_ref = refs[i]; i += 1                   # [G·T, H]
+    aps = refs[i:i + span]; i += span            # span × [sub, 2H] packed
+    apd_ref = refs[i]; i += 1                    # [G·T, 2H] packed (direct)
     zs = refs[i:i + span]; i += span             # span × [sub, HC]
     g_ref = refs[i]; i += 1                      # [G·T, HC]
     dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
@@ -109,12 +109,14 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
 
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
+    ap_blocks = [a[:].astype(jnp.float32) for a in aps]
     for g in range(group):
         bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
-        # f32 alpha loads: see note in banded._gat_kernel
-        adst = adst_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
+        # packed-α slicing in VMEM (see banded._gat_kernel): sender side at
+        # lane offset 0 (free), receiver side one offset slice per tile
+        adst = apd_ref[g * tile:(g + 1) * tile, heads:].astype(jnp.float32)
         asrc_cat = jnp.concatenate(
-            [asrc[g * r + k][:].astype(jnp.float32) for k in range(window)],
+            [ap_blocks[g * r + k][:, :heads] for k in range(window)],
             axis=0)                                          # [Wcols, H]
         zcat = jnp.concatenate(
             [zs[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
@@ -185,13 +187,15 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
         ).astype(dz_ref.dtype)
 
 
-def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
+def banded_gat_bwd(bias_self, z, alphas, g, heads,
                    negative_slope=0.2, dropout_rate=0.0, seed=None,
                    mean_expand=False):
-    """Fused backward of ``banded_gat_fwd`` → (dz, dalpha_src, dalpha_dst).
+    """Fused backward of ``banded_gat_fwd`` → (dz, dalphas).
 
-    With ``mean_expand`` the cotangent ``g`` is that of the head-MEAN output
-    ([N, C]); the per-head expansion g/H happens in VMEM instead of
+    ``alphas`` is PACKED [N, 2H] (src|dst), sliced in VMEM like the forward
+    — no narrow [N, H] arrays in HBM; ``dalphas`` returns packed the same
+    way.  With ``mean_expand`` the cotangent ``g`` is that of the head-MEAN
+    output ([N, C]); the per-head expansion g/H happens in VMEM instead of
     materializing the tiled [N, H·C] cotangent in HBM.
     """
     from .banded import _choose_group, _clamped_window_specs, _seed_inputs
@@ -201,12 +205,12 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
     w_sub = width // sub
     r = tile // sub
     hc = z.shape[1]
-    h = alpha_src.shape[1]
+    h = heads
     n = z.shape[0]
     g_feat = hc // heads if mean_expand else hc
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
-        feat_bytes=(hc + h) * z.dtype.itemsize + hc * 4,
+        feat_bytes=(hc + 2 * h) * z.dtype.itemsize + hc * 4,
         # per-window partials (dz in primal dtype + f32 dα_src) dominate the
         # output side
         extra_out_bytes_per_tile=(width // tile) * (
@@ -229,8 +233,8 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
             *seed_specs,
             pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(w_sub, tile, h, n_tiles, group, sub),
-            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
+            *_clamped_window_specs(w_sub, tile, 2 * h, n_tiles, group, sub),
+            pl.BlockSpec((group * tile, 2 * h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
             pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
@@ -261,10 +265,11 @@ def banded_gat_bwd(bias_self, z, alpha_src, alpha_dst, g, heads,
             transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_self, *([alpha_src] * span), alpha_dst, *([z] * span), g)
+    )(*seed_in, bias_self, *([alphas] * span), alphas, *([z] * span), g)
     dz = combine_partials(dz_part, tile).astype(z.dtype)
-    das = combine_partials(das_part, tile).astype(alpha_src.dtype)
-    return dz, das, dad.astype(alpha_dst.dtype)
+    das = combine_partials(das_part, tile)
+    # packed dα (src|dst) — one concat of two already-f32 streams
+    return dz, jnp.concatenate([das, dad], axis=1).astype(alphas.dtype)
 
 
 # ---------------------------------------------------- Transformer backward

@@ -161,6 +161,9 @@ class GATConv(nn.Module):
                  (eye[:, None, :] * att_dst[0][:, :, None]).reshape(H * C, H)],
                 axis=1,
             )
+            # packed α in ONE matmul (no narrow src/dst split in HBM —
+            # f32[N, H] tensors tile to T(8,128), 16-32× padding waste;
+            # in-kernel α was measured slower, see banded_gat_mean_fused_fwd)
             alphas = jnp.dot(
                 x, (w.astype(jnp.float32) @ amat).astype(x.dtype),
                 preferred_element_type=jnp.float32,
@@ -170,7 +173,7 @@ class GATConv(nn.Module):
                 rate = self.dropout
                 seed = _dropout_seed(self.make_rng("dropout"))
             out2d = banded_gat_mean_fused(
-                graph.band.bias_self, w, x, alphas[:, :H], alphas[:, H:],
+                graph.band.bias_self, w, alphas, x,
                 H, self.negative_slope, rate, seed,
             )
             bias = self.param("bias", nn.initializers.zeros, (C,))
@@ -197,7 +200,6 @@ class GATConv(nn.Module):
         )
         alphas = jnp.dot(z2d, amat.astype(z2d.dtype),
                          preferred_element_type=jnp.float32)  # [N, 2H]
-        alpha_src, alpha_dst = alphas[:, :H], alphas[:, H:]
         z = z2d.reshape(-1, H, C)
 
         def leaky(v):
@@ -214,18 +216,24 @@ class GATConv(nn.Module):
         )
         out2d = None  # set when the head-mean epilogue is fused in-kernel
         if use_pallas:
-            from ..kernels.banded import banded_gat, banded_gat_mean
+            from ..kernels.banded import (
+                banded_gat_mean_packed,
+                banded_gat_packed,
+            )
 
             rate, seed = 0.0, None
             if drop_active:
                 rate = self.dropout
                 seed = _dropout_seed(self.make_rng("dropout"))
-            kernel_fn = banded_gat if self.concat else banded_gat_mean
+            # PACKED α straight into the kernel — the src/dst split of a
+            # narrow f32[N, H] array is 16-32× its logical bytes under
+            # T(8,128) tiling (see kernels.banded._gat_kernel)
+            kernel_fn = (banded_gat_packed if self.concat
+                         else banded_gat_mean_packed)
             out = kernel_fn(
                 graph.band.bias_self,
                 z2d,
-                alpha_src,
-                alpha_dst,
+                alphas,
                 H,
                 self.negative_slope,
                 rate,
@@ -236,6 +244,7 @@ class GATConv(nn.Module):
             else:
                 out2d = out
         elif self.backend == "segment":
+            alpha_src, alpha_dst = alphas[:, :H], alphas[:, H:]
             # self-loops appended virtually: include (i, i) logits via concat
             e_logit = leaky(alpha_src[graph.senders] + alpha_dst[graph.receivers])
             self_logit = leaky(alpha_src + alpha_dst)  # [N, H]
@@ -266,6 +275,7 @@ class GATConv(nn.Module):
             )
             out = out + z * attn_s[:, :, None]
         else:
+            alpha_src, alpha_dst = alphas[:, :H], alphas[:, H:]
             logits = leaky(
                 alpha_src[graph.nbr_idx] + alpha_dst[:, None, :]
             )  # [N, D, H]

@@ -66,10 +66,11 @@ def load_or_compile(jitted_fn, args, cache_dir: str | Path, label: str = "",
             # forward); deserialize_and_load defaults to all local devices,
             # which breaks under multi-device envs (8 virtual CPU devices in
             # tests) — pin to the default device explicitly
-            return serialize_executable.deserialize_and_load(
+            exe = serialize_executable.deserialize_and_load(
                 payload["serialized"], payload["in_tree"], payload["out_tree"],
                 execution_devices=jax.devices()[:1],
             )
+            return _FirstCallValidated(exe, lowered, label or file.name)
         except Exception as e:  # corrupt / mismatched — recompile
             warnings.warn(f"AOT cache load failed ({label or file.name}): {e}")
     compiled = lowered.compile()
@@ -90,3 +91,42 @@ def load_or_compile(jitted_fn, args, cache_dir: str | Path, label: str = "",
     except Exception as e:  # serialization unsupported on this backend
         warnings.warn(f"AOT cache save failed ({label or file.name}): {e}")
     return compiled
+
+
+class _FirstCallValidated:
+    """Run-time guard around a DESERIALIZED executable.
+
+    Deserialization can succeed and still yield an executable whose outputs
+    fail at fetch time (observed on multi-device CPU processes:
+    "Buffer Definition Event: Function ... not found" after shard_map
+    programs ran earlier in the process).  The first call therefore executes
+    against COPIES of the arguments (so buffer donation cannot destroy the
+    caller's inputs) and blocks on the result; any failure falls back to a
+    fresh compile of the lowered computation, permanently.
+    """
+
+    def __init__(self, exe, lowered, label: str):
+        self._exe = exe
+        self._lowered = lowered
+        self._label = label
+        self._validated = False
+
+    def __call__(self, *args):
+        import jax.numpy as jnp
+
+        if self._validated:
+            return self._exe(*args)
+        backup = jax.tree.map(
+            lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a, args)
+        try:
+            out = self._exe(*args)
+            jax.block_until_ready(out)
+            self._validated = True
+            return out
+        except Exception as e:  # noqa: BLE001 — any run-time failure
+            warnings.warn(
+                f"AOT executable failed at first use ({self._label}): {e}; "
+                "recompiling")
+            self._exe = self._lowered.compile()
+            self._validated = True
+            return self._exe(*backup)

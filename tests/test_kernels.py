@@ -782,11 +782,14 @@ class TestFusedProjectionGAT:
         H, C, F = 2, 8, 16
         x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(F, H * C)).astype(np.float32)) * 0.3
-        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
-        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        # round 4: the fused op takes PACKED alphas [N, 2H] (one matmul,
+        # no narrow src/dst split in HBM)
+        wa = jnp.asarray(rng.normal(size=(F, 2 * H)).astype(np.float32)) * 0.2
+        al = jnp.dot(x, wa, preferred_element_type=jnp.float32)
         z = x @ w
-        ref = banded_gat_mean(g.band.bias_self, z, a_s, a_d, H, 0.2, 0.0, None)
-        got = banded_gat_mean_fused(g.band.bias_self, w, x, a_s, a_d, H, 0.2)
+        ref = banded_gat_mean(g.band.bias_self, z, al[:, :H], al[:, H:],
+                              H, 0.2, 0.0, None)
+        got = banded_gat_mean_fused(g.band.bias_self, w, al, x, H, 0.2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
@@ -818,23 +821,24 @@ class TestFusedProjectionGAT:
         H, C, F = 2, 8, 16
         x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(F, H * C)).astype(np.float32)) * 0.3
-        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
-        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        wa = jnp.asarray(rng.normal(size=(F, 2 * H)).astype(np.float32)) * 0.2
 
-        def loss_unfused(w_, x_, a_s_, a_d_):
+        def loss_unfused(w_, wa_, x_):
             z = jnp.dot(x_, w_, preferred_element_type=jnp.float32)
-            out = banded_gat_mean(g.band.bias_self, z, a_s_, a_d_, H, 0.2,
-                                  0.0, None)
+            al = jnp.dot(x_, wa_, preferred_element_type=jnp.float32)
+            out = banded_gat_mean(g.band.bias_self, z, al[:, :H], al[:, H:],
+                                  H, 0.2, 0.0, None)
             return jnp.sum(out * out)
 
-        def loss_fused(w_, x_, a_s_, a_d_):
-            out = banded_gat_mean_fused(g.band.bias_self, w_, x_, a_s_, a_d_,
+        def loss_fused(w_, wa_, x_):
+            al = jnp.dot(x_, wa_, preferred_element_type=jnp.float32)
+            out = banded_gat_mean_fused(g.band.bias_self, w_, al, x_,
                                         H, 0.2, 0.0, None)
             return jnp.sum(out * out)
 
-        g1 = jax.grad(loss_unfused, argnums=(0, 1, 2, 3))(w, x, a_s, a_d)
-        g2 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(w, x, a_s, a_d)
-        for a, b, name in zip(g1, g2, ("dw", "dx", "da_src", "da_dst")):
+        g1 = jax.grad(loss_unfused, argnums=(0, 1, 2))(w, wa, x)
+        g2 = jax.grad(loss_fused, argnums=(0, 1, 2))(w, wa, x)
+        for a, b, name in zip(g1, g2, ("dw", "dwa", "dx")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4, err_msg=name)
 
@@ -879,12 +883,13 @@ class TestFusedProjectionGAT:
         H, C, F = 2, 8, 16
         x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(F, H * C)).astype(np.float32)) * 0.3
-        a_s = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
-        a_d = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+        wa = jnp.asarray(rng.normal(size=(F, 2 * H)).astype(np.float32)) * 0.2
+        al = jnp.dot(x, wa, preferred_element_type=jnp.float32)
         seed = jnp.asarray([1234], jnp.int32)
         z = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        ref = banded_gat_mean(g.band.bias_self, z, a_s, a_d, H, 0.2, 0.3, seed)
-        got = banded_gat_mean_fused(g.band.bias_self, w, x, a_s, a_d, H,
+        ref = banded_gat_mean(g.band.bias_self, z, al[:, :H], al[:, H:],
+                              H, 0.2, 0.3, seed)
+        got = banded_gat_mean_fused(g.band.bias_self, w, al, x, H,
                                     0.2, 0.3, seed)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)

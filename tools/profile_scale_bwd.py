@@ -189,6 +189,7 @@ def main():
 
     w0 = jax.device_put(
         jnp.asarray(rng.normal(size=(F, heads * F)) * 0.05, jnp.bfloat16))
+    # packed alphas [N, 2H] (round-4 interface)
     a0 = jax.device_put(
         jnp.asarray(rng.normal(size=(graph.n_pad, 2 * heads)) * 0.1,
                     jnp.float32))
@@ -196,8 +197,7 @@ def main():
 
     def kfwd_body(i, carry, w, x, al, bs):
         x = x + carry.astype(x.dtype) * 1e-30
-        out = banded_gat_mean_fused(bs, w, x, al[:, :heads], al[:, heads:],
-                                    heads, 0.2, 0.0, None)
+        out = banded_gat_mean_fused(bs, w, al, x, heads, 0.2, 0.0, None)
         return carry + jnp.sum(out).astype(carry.dtype) * 1e-30
 
     t = chain_time(kfwd_body, jnp.zeros(()), w0, x0, a0, bias_self)
@@ -205,8 +205,7 @@ def main():
     print(f"kernel_fwd      {t*1e3:8.2f} ms", flush=True)
 
     def kloss(w, x, al, bs):
-        out = banded_gat_mean_fused(bs, w, x, al[:, :heads], al[:, heads:],
-                                    heads, 0.2, 0.0, None)
+        out = banded_gat_mean_fused(bs, w, al, x, heads, 0.2, 0.0, None)
         return jnp.sum(out.astype(jnp.float32))
 
     def kgrad_body(i, carry, w, x, al, bs):

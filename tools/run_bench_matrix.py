@@ -17,15 +17,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
-    # (layer_type, backend, compute_dtype, mode)
-    *[(lt, be, "bfloat16", "forward")
+    # (layer_type, backend, compute_dtype, mode, num_layers)
+    *[(lt, be, "bfloat16", "forward", 4)
       for lt in ("GCN", "GAT", "GIN", "Transformer")
       for be in ("pallas", "dense")],
-    *[(lt, "pallas", "bfloat16", "train")
+    *[(lt, "pallas", "bfloat16", "train", 4)
       for lt in ("GCN", "GAT", "GIN", "Transformer")],
-    ("GAT", "pallas", "float32", "forward"),
-    ("GAT", "dense", "float32", "forward"),
-    ("GAT", "segment", "float32", "forward"),
+    ("GAT", "pallas", "float32", "forward", 4),
+    ("GAT", "dense", "float32", "forward", 4),
+    ("GAT", "segment", "float32", "forward", 4),
+    # BASELINE config 4: Graph-Transformer, deeper stack (8 layers) at the
+    # flagship width — the one config without a perf row at its stated
+    # depth (VERDICT r3 item 3)
+    ("Transformer", "pallas", "bfloat16", "forward", 8),
+    ("Transformer", "pallas", "bfloat16", "train", 8),
 ]
 
 
@@ -39,20 +44,25 @@ def main():
 
     enable_compilation_cache()
     results = []
-    for layer_type, backend, dtype, mode in CONFIGS:
+    for layer_type, backend, dtype, mode, n_layers in CONFIGS:
         r = run_benchmark(
             case_path="/root/reference/OpenFOAM-data",
             layer_type=layer_type,
-            num_layers=4,
+            num_layers=n_layers,
             hidden_dim=256,
             backend=backend,
             compute_dtype=dtype,
             mode=mode,
         )
         results.append(r)
-        print(f"{mode:7s} {layer_type:12s} {backend:7s} {dtype:8s} "
+        mfu = r.get("mfu")
+        print(f"{mode:7s} {layer_type:12s}x{n_layers} {backend:7s} {dtype:8s} "
               f"{r['step_median_s']*1e3:8.2f} ms  "
-              f"{r['value']:.3e} msgs/s", flush=True)
+              f"{r['value']:.3e} msgs/s  "
+              f"mfu={mfu:.3f} {r.get('bound')}" if mfu else
+              f"{mode:7s} {layer_type:12s}x{n_layers} {backend:7s} {dtype:8s} "
+              f"{r['step_median_s']*1e3:8.2f} ms  {r['value']:.3e} msgs/s",
+              flush=True)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
