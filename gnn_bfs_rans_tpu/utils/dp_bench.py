@@ -76,7 +76,20 @@ def _time_dp_step(model, tcfg, mesh, graph, targets, reps=16, base=2,
         return best
 
     t_base, t_full = best_time(base), best_time(reps)
-    return max((t_full - t_base) / (reps - base), 1e-9)
+    delta = t_full - t_base
+    if delta <= 0:
+        # resolution collapse (host contention on virtual-CPU meshes can
+        # invert the two minima): retry once with a wider spread before
+        # refusing — a clamped near-zero time would fabricate an absurd
+        # efficiency ratio (seen as a flaky 4e7 "ratio" in CI)
+        t_base2, t_full2 = best_time(base), best_time(4 * reps)
+        delta = t_full2 - t_base2
+        if delta <= 0:
+            raise RuntimeError(
+                "DP bench resolution collapse: T(full) <= T(base) even at "
+                f"4x reps (base={base}, reps={reps})")
+        return delta / (4 * reps - base)
+    return delta / (reps - base)
 
 
 def run_dp_scaling_benchmark(
