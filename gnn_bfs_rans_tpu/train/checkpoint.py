@@ -96,7 +96,25 @@ def load_checkpoint(
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)
         restored = _ckptr().restore(path, abstract)
     else:
-        restored = _ckptr().restore(path)
+        try:
+            restored = _ckptr().restore(path)
+        except ValueError as e:
+            if "was not found in jax.local_devices" not in str(e):
+                raise
+            # cross-device restore (e.g. a TPU-trained checkpoint opened on
+            # CPU): orbax pins stored shardings to the saving device; rebuild
+            # an abstract target from the stored metadata with shardings on
+            # the CURRENT default device — the torch `map_location`
+            # equivalent the reference relies on (`inference.py:23`).
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            meta_tree = _ckptr().metadata(path).item_metadata
+            abstract = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=sharding),
+                meta_tree,
+                is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
+            )
+            restored = _ckptr().restore(path, abstract)
     return restored, meta
 
 
