@@ -36,6 +36,75 @@ def _part_spec(window: int, sub: int, feat: int, group: int = 1):
                         memory_space=pltpu.VMEM)
 
 
+def _fold_kernel(n_tiles, w_sub, sub, r, k0, smax, span,
+                 *refs):
+    """Shifted-slice fold of one receiver tile (see combine_partials).
+
+    ``refs[:span]`` are per-slot [1, w_sub, sub, F] blocks of the partials
+    array: slot j holds tile ``clip(i - smax + j, 0, n_tiles-1)`` (source
+    offsets are −s, so the window spans [i−smax, i−smin]).  The
+    contribution from shift s lives at the CONSTANT slot ``smax - s``
+    whenever tile ``i - s`` is in range; out-of-range contributions are
+    zeroed explicitly (the clamped duplicate would otherwise be added).
+    """
+    part_refs, out_ref = refs[:span], refs[span]
+    i = pl.program_id(0)
+    feat = part_refs[0].shape[3]
+    rows = []
+    for m in range(r):
+        acc = None
+        for k in range(w_sub):
+            if (k - k0) % r != m:
+                continue
+            sft = (k - k0) // r
+            slot = smax - sft
+            valid = jnp.logical_and(i - sft >= 0, i - sft < n_tiles)
+            blk = jnp.where(
+                valid, part_refs[slot][0, k].astype(jnp.float32), 0.0)
+            acc = blk if acc is None else acc + blk
+        rows.append(acc if acc is not None
+                    else jnp.zeros((sub, feat), jnp.float32))
+    out_ref[...] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
+
+
+def fold_partials(part: jax.Array, tile: int, out_dtype=None) -> jax.Array:
+    """Pallas read-once/write-once fold of window partials → [N, F].
+
+    Same math as :func:`combine_partials`; built because XLA lowers the
+    shifted-slice formulation to a TWO-stage fusion chain at 1M cells
+    (~7.7 ms/layer vs the ~3.8 ms single-pass roofline — round-4 trace,
+    add_convert_fusion + pad_maximum_fusion).  Wide features only; the
+    narrow dα folds stay on the XLA path (a [.., 4]-lane block would hit
+    the same T(8,128) padding waste the packed-α work removed).
+    """
+    from .banded import _use_interpret
+
+    n_tiles, w_sub, sub, feat = part.shape
+    r = tile // sub
+    k0 = (w_sub - r) // 2
+    shifts = sorted({(k - k0) // r for k in range(w_sub)})
+    smin, smax = shifts[0], shifts[-1]
+    span = smax - smin + 1
+    out_dtype = out_dtype or jnp.float32
+    kernel = functools.partial(
+        _fold_kernel, n_tiles, w_sub, sub, r, k0, smax, span)
+
+    def slot_map(j):
+        return lambda i, j=j: (jnp.clip(i - smax + j, 0, n_tiles - 1),
+                               0, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, w_sub, sub, feat), slot_map(j))
+                  for j in range(span)],
+        out_specs=pl.BlockSpec((tile, feat), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, feat), out_dtype),
+        interpret=_use_interpret(),
+    )(*([part] * span))
+    return out
+
+
 def combine_partials(part: jax.Array, tile: int) -> jax.Array:
     """[n_tiles, W_sub, sub, F] per-(receiver-tile, window-block) partials
     → [N, F].
@@ -266,7 +335,9 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         ),
         interpret=_use_interpret(),
     )(*seed_in, bias_self, *([alphas] * span), alphas, *([z] * span), g)
-    dz = combine_partials(dz_part, tile).astype(z.dtype)
+    dz = (fold_partials(dz_part, tile, out_dtype=z.dtype)
+          if dz_part.shape[-1] >= 128
+          else combine_partials(dz_part, tile).astype(z.dtype))
     das = combine_partials(das_part, tile)
     # packed dα (src|dst) — one concat of two already-f32 streams
     return dz, jnp.concatenate([das, dad], axis=1).astype(alphas.dtype)
@@ -560,8 +631,12 @@ def banded_transformer_bwd(
     )(*seed_in, bias_noself, q, *([k] * span), *([v] * span), *extra,
       g, *gs_in)
     dq = outs[0].astype(q.dtype)
-    dk = combine_partials(outs[1], tile).astype(k.dtype)
-    dv = combine_partials(outs[2], tile).astype(v.dtype)
+    dk = (fold_partials(outs[1], tile, out_dtype=k.dtype)
+          if outs[1].shape[-1] >= 128
+          else combine_partials(outs[1], tile).astype(k.dtype))
+    dv = (fold_partials(outs[2], tile, out_dtype=v.dtype)
+          if outs[2].shape[-1] >= 128
+          else combine_partials(outs[2], tile).astype(v.dtype))
     if edge_dim:
         return dq, dk, dv, outs[3].astype(qw.dtype)
     return dq, dk, dv

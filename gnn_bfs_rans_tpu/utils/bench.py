@@ -99,7 +99,16 @@ def chained_marginal_time(
     round trip and the loop setup.  One traced body per k → compile cost is
     k-independent.  Reps double until the delta clears ``min_snr×`` the
     trial spread (the r03 failure was a delta below the jitter floor).
+
+    Off-TPU (local CPU, no tunnel jitter to average away) the widening is
+    capped low — interpret-mode kernels are ~1000× slower and the adaptive
+    loop would otherwise run for many minutes.
     """
+    if jax.default_backend() != "tpu":
+        reps = min(reps, 16)
+        base = min(base, 2)
+        trials = min(trials, 2)
+        max_reps = min(max_reps, 32)
 
     @jax.jit
     def f(g, k):

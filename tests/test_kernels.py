@@ -946,3 +946,41 @@ class TestCombinePartials:
         out = combine_partials(part, tile)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestFoldPartials:
+    """Pallas read-once fold vs the XLA shifted-slice reference
+    (kernels.banded_bwd.fold_partials / combine_partials)."""
+
+    @pytest.mark.parametrize("w_sub,n_tiles", [(3, 5), (4, 7), (5, 4)])
+    def test_matches_combine(self, w_sub, n_tiles):
+        from gnn_bfs_rans_tpu.kernels.banded_bwd import (
+            combine_partials,
+            fold_partials,
+        )
+
+        tile, sub, feat = 16, 8, 128
+        rng = np.random.default_rng(11)
+        part = jnp.asarray(
+            rng.normal(size=(n_tiles, w_sub, sub, feat)).astype(np.float32))
+        ref = combine_partials(part, tile)
+        got = fold_partials(part, tile)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_bf16_output_dtype(self):
+        from gnn_bfs_rans_tpu.kernels.banded_bwd import (
+            combine_partials,
+            fold_partials,
+        )
+
+        tile, sub, feat, n_tiles, w_sub = 16, 8, 128, 6, 4
+        rng = np.random.default_rng(12)
+        part = jnp.asarray(
+            rng.normal(size=(n_tiles, w_sub, sub, feat)).astype(np.float32))
+        got = fold_partials(part, tile, out_dtype=jnp.bfloat16)
+        assert got.dtype == jnp.bfloat16
+        ref = combine_partials(part, tile).astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)

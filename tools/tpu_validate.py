@@ -257,6 +257,75 @@ def validate_dropout(band, z, a_s, a_d, H):
            abs(lhs - rhs) / max(1.0, abs(rhs)), 1e-2)
 
 
+def validate_epilogue():
+    """Fused residual+BN+ReLU+dropout epilogue (kernels.epilogue) on device.
+
+    Pins real-TPU parity incl. bf16 — the CPU interpret path executes bf16
+    arithmetic in f32 without intermediate rounding, so the pytest suite's
+    bf16 tolerances are wide; the on-device numbers here are the honest
+    ones (see tests/test_epilogue.py).
+    """
+    from gnn_bfs_rans_tpu.kernels.epilogue import (
+        fused_epilogue, reference_epilogue,
+    )
+
+    N_VALID, N_PAD, C = 1000, 1024, 128
+    rng = np.random.default_rng(5)
+    for dt, tag, tol in ((jnp.float32, "f32", 2e-5),
+                         (jnp.bfloat16, "bf16", 3e-2)):
+        x = jnp.asarray(rng.normal(size=(N_PAD, C)), dt)
+        xn = jnp.asarray(rng.normal(size=(N_PAD, C)), dt)
+        scale = jnp.asarray(1 + 0.1 * rng.normal(size=C), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.normal(size=C), jnp.float32)
+        mask = jnp.asarray(np.arange(N_PAD) < N_VALID)
+        y, m, v = jax.jit(
+            lambda *a: fused_epilogue(*a, N_VALID, 0.0, 1e-5)
+        )(x, xn, scale, bias, jnp.zeros((1,), jnp.int32))
+        yr, mr, vr = reference_epilogue(x, xn, scale, bias, mask, 0.0, 1e-5)
+        record(f"epilogue_{tag}", "fwd_vs_reference",
+               float(jnp.abs(y.astype(jnp.float32)
+                             - yr.astype(jnp.float32)).max()), tol)
+        record(f"epilogue_{tag}", "var_vs_reference",
+               float(jnp.abs(v - vr).max()), 1e-3 if tag == "f32" else 2e-2)
+
+        def loss_f(x, xn, s, b):
+            y, _, _ = fused_epilogue(x, xn, s, b,
+                                     jnp.zeros((1,), jnp.int32),
+                                     N_VALID, 0.0, 1e-5)
+            return jnp.sum(jnp.tanh(y.astype(jnp.float32)))
+
+        def loss_r(x, xn, s, b):
+            y, _, _ = reference_epilogue(x, xn, s, b, mask, 0.0, 1e-5)
+            return jnp.sum(jnp.tanh(y.astype(jnp.float32)))
+
+        gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2, 3)))(x, xn, scale, bias)
+        gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2, 3)))(x, xn, scale, bias)
+        for a, b, nm in zip(gf, gr, ("dx", "dxn", "dscale", "dbias")):
+            record(f"epilogue_{tag}", f"bwd_{nm}",
+                   float(jnp.abs(a.astype(jnp.float32)
+                                 - b.astype(jnp.float32)).max()),
+                   5e-4 if tag == "f32" else 5e-2)
+
+    # dropout: keep-rate + forward/backward mask replay (Mosaic PRNG)
+    x = jnp.asarray(rng.normal(size=(N_PAD, C)), jnp.float32)
+    xn = jnp.asarray(rng.normal(size=(N_PAD, C)), jnp.float32)
+    scale = jnp.ones(C, jnp.float32); bias = jnp.zeros(C, jnp.float32)
+    seed = jnp.asarray([42], jnp.int32)
+    y0, _, _ = jax.jit(lambda *a: fused_epilogue(*a, N_VALID, 0.0, 1e-5))(
+        x, xn, scale, bias, seed)
+    y1, _, _ = jax.jit(lambda *a: fused_epilogue(*a, N_VALID, 0.3, 1e-5))(
+        x, xn, scale, bias, seed)
+    live = np.asarray(y0) > 0
+    frac = float(((np.asarray(y1) == 0) & live).sum() / max(live.sum(), 1))
+    record("epilogue_dropout", "keep_rate", abs(frac - 0.3), 0.02)
+    dx = jax.jit(jax.grad(lambda x: jnp.sum(fused_epilogue(
+        x, xn, scale, bias, seed, N_VALID, 0.3, 1e-5)[0])))(x)
+    pad_y = np.asarray(y1)[N_VALID:]
+    pad_dx = np.asarray(dx)[N_VALID:]
+    bad = float(np.abs(pad_dx[pad_y == 0]).max()) if (pad_y == 0).any() else 0.0
+    record("epilogue_dropout", "bwd_mask_replay", bad, 1e-12)
+
+
 def main():
     out_path = "artifacts/tpu_validate.json"
     if "--out" in sys.argv:
@@ -283,6 +352,7 @@ def main():
     validate_edge_and_geo(band, q, k, v, qw, H)
     validate_geo()
     validate_dropout(band, z, a_s, a_d, H)
+    validate_epilogue()
 
     artifact = {
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
