@@ -36,46 +36,52 @@ def _part_spec(window: int, sub: int, feat: int, group: int = 1):
                         memory_space=pltpu.VMEM)
 
 
-def _fold_kernel(n_tiles, w_sub, sub, r, k0, smax, span,
+def _fold_kernel(n_tiles, w_sub, sub, r, k0, smax, span, group,
                  *refs):
-    """Shifted-slice fold of one receiver tile (see combine_partials).
+    """Shifted-slice fold of G receiver tiles per grid step.
 
-    ``refs[:span]`` are per-slot [1, w_sub, sub, F] blocks of the partials
-    array: slot j holds tile ``clip(i - smax + j, 0, n_tiles-1)`` (source
-    offsets are −s, so the window spans [i−smax, i−smin]).  The
-    contribution from shift s lives at the CONSTANT slot ``smax - s``
-    whenever tile ``i - s`` is in range; out-of-range contributions are
+    ``refs[:group+span-1]`` are per-slot [1, w_sub, sub, F] blocks of the
+    partials array: slot j holds tile ``clip(i·G - smax + j, 0, n_tiles-1)``
+    (source offsets are −s, so tile i·G+g−s sits at the CONSTANT slot
+    ``g + smax − s``).  Grouping amortizes the sliding-window re-read to
+    (G+span−1)/G× — the G=1 form re-read the whole array span× and measured
+    SLOWER than the XLA chain at 1M cells.  Out-of-range contributions are
     zeroed explicitly (the clamped duplicate would otherwise be added).
     """
-    part_refs, out_ref = refs[:span], refs[span]
+    n_slots = group + span - 1
+    part_refs, out_ref = refs[:n_slots], refs[n_slots]
     i = pl.program_id(0)
     feat = part_refs[0].shape[3]
-    rows = []
-    for m in range(r):
-        acc = None
-        for k in range(w_sub):
-            if (k - k0) % r != m:
-                continue
-            sft = (k - k0) // r
-            slot = smax - sft
-            valid = jnp.logical_and(i - sft >= 0, i - sft < n_tiles)
-            blk = jnp.where(
-                valid, part_refs[slot][0, k].astype(jnp.float32), 0.0)
-            acc = blk if acc is None else acc + blk
-        rows.append(acc if acc is not None
-                    else jnp.zeros((sub, feat), jnp.float32))
-    out_ref[...] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
+    for g in range(group):
+        t = i * group + g
+        rows = []
+        for m in range(r):
+            acc = None
+            for k in range(w_sub):
+                if (k - k0) % r != m:
+                    continue
+                sft = (k - k0) // r
+                slot = g + smax - sft
+                valid = jnp.logical_and(t - sft >= 0, t - sft < n_tiles)
+                blk = jnp.where(
+                    valid, part_refs[slot][0, k].astype(jnp.float32), 0.0)
+                acc = blk if acc is None else acc + blk
+            rows.append(acc if acc is not None
+                        else jnp.zeros((sub, feat), jnp.float32))
+        tile = r * sub
+        out_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
+            rows, axis=0).astype(out_ref.dtype)
 
 
 def fold_partials(part: jax.Array, tile: int, out_dtype=None) -> jax.Array:
-    """Pallas read-once/write-once fold of window partials → [N, F].
+    """Pallas fold of window partials → [N, F] (see combine_partials).
 
-    Same math as :func:`combine_partials`; built because XLA lowers the
-    shifted-slice formulation to a TWO-stage fusion chain at 1M cells
-    (~7.7 ms/layer vs the ~3.8 ms single-pass roofline — round-4 trace,
-    add_convert_fusion + pad_maximum_fusion).  Wide features only; the
-    narrow dα folds stay on the XLA path (a [.., 4]-lane block would hit
-    the same T(8,128) padding waste the packed-α work removed).
+    Built because XLA lowers the shifted-slice formulation to a TWO-stage
+    fusion chain at 1M cells (~7.7 ms/layer vs the ~3.9 ms near-read-once
+    roofline — round-4 trace, add_convert_fusion + pad_maximum_fusion).
+    Wide features only; the narrow dα folds stay on the XLA path (a
+    [.., 4]-lane block would hit the same T(8,128) padding waste the
+    packed-α work removed).
     """
     from .banded import _use_interpret
 
@@ -86,22 +92,34 @@ def fold_partials(part: jax.Array, tile: int, out_dtype=None) -> jax.Array:
     smin, smax = shifts[0], shifts[-1]
     span = smax - smin + 1
     out_dtype = out_dtype or jnp.float32
+    # largest group ≤ 16 dividing n_tiles, VMEM-bounded: (G+span−1) slot
+    # blocks + G output tiles (double-buffered; ~12 MiB of the 16 MiB VMEM)
+    out_size = jnp.dtype(out_dtype).itemsize
+    group = 1
+    for gcand in range(2, 17):
+        if n_tiles % gcand:
+            continue
+        vmem = ((gcand + span - 1) * w_sub * sub * feat * part.dtype.itemsize
+                + gcand * tile * feat * out_size) * 2
+        if vmem <= 12 * 2 ** 20:
+            group = gcand
     kernel = functools.partial(
-        _fold_kernel, n_tiles, w_sub, sub, r, k0, smax, span)
+        _fold_kernel, n_tiles, w_sub, sub, r, k0, smax, span, group)
 
     def slot_map(j):
-        return lambda i, j=j: (jnp.clip(i - smax + j, 0, n_tiles - 1),
-                               0, 0, 0)
+        return lambda i, j=j: (
+            jnp.clip(i * group - smax + j, 0, n_tiles - 1), 0, 0, 0)
 
+    n_slots = group + span - 1
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles // group,),
         in_specs=[pl.BlockSpec((1, w_sub, sub, feat), slot_map(j))
-                  for j in range(span)],
-        out_specs=pl.BlockSpec((tile, feat), lambda i: (i, 0)),
+                  for j in range(n_slots)],
+        out_specs=pl.BlockSpec((group * tile, feat), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, feat), out_dtype),
         interpret=_use_interpret(),
-    )(*([part] * span))
+    )(*([part] * n_slots))
     return out
 
 
