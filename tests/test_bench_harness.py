@@ -37,8 +37,17 @@ def test_chained_marginal_time_positive_and_sane():
     def apply_fn(graph):
         return jnp.tanh(graph.node_feat @ graph.node_feat.T)
 
-    t = chained_marginal_time(apply_fn, g, reps=8, base=2, trials=2,
-                              min_snr=0.0)
+    # µs-scale CPU timings can collapse (T(full) ≤ T(base)) under host
+    # contention — the harness correctly REFUSES to report then; retry a
+    # few times rather than flake in CI
+    for attempt in range(4):
+        try:
+            t = chained_marginal_time(apply_fn, g, reps=8, base=2, trials=2,
+                                      min_snr=0.0)
+            break
+        except RuntimeError:
+            if attempt == 3:
+                raise
     assert isinstance(t, MarginalTiming)
     assert 0 < t.step_s < 1.0  # a tiny matmul is far under a second per rep
     assert t.snr > 0 and t.reps > t.base
