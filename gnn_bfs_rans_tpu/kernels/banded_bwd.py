@@ -199,16 +199,16 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
     ap_blocks = [a[:].astype(jnp.float32) for a in aps]
     for g in range(group):
         bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
-        # packed-α slicing in VMEM (see banded._gat_kernel): sender side at
-        # lane offset 0 (free), receiver side one offset slice per tile
-        adst = apd_ref[g * tile:(g + 1) * tile, heads:].astype(jnp.float32)
-        asrc_cat = jnp.concatenate(
-            [ap_blocks[g * r + k][:, :heads] for k in range(window)],
-            axis=0)                                          # [Wcols, H]
+        # packed α via COLUMN extracts only (src lane h, dst lane heads+h) —
+        # no lane-offset slices in the hot loop (see banded._gat_kernel)
+        adst2 = apd_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
+        ap_cat = jnp.concatenate(
+            [ap_blocks[g * r + k] for k in range(window)],
+            axis=0)                                          # [Wcols, 2H]
         zcat = jnp.concatenate(
             [zs[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
         pre = jnp.concatenate(
-            [adst[:, h][:, None] + asrc_cat[:, h][None, :]
+            [adst2[:, heads + h][:, None] + ap_cat[:, h][None, :]
              for h in range(heads)],
             axis=0,
         )                                                    # [H·T, WT]
