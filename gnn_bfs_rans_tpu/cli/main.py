@@ -85,6 +85,7 @@ def cmd_infer(args) -> int:
     predictor, fields, graph = predict_case(
         args.checkpoint, args.case_path, name=args.checkpoint_name,
         boundary_self_loops=getattr(args, "boundary_self_loops", False),
+        recalibrate_bn=getattr(args, "recalibrate_bn", False),
     )
     print(f"Graph: {graph.n_nodes} nodes, {graph.n_edges} edges")
     print("Prediction completed!")
@@ -498,6 +499,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reference_time", type=str, default=None)
     p.add_argument("--save_format", type=str, default="numpy",
                    choices=["numpy", "openfoam", "both"])
+    p.add_argument("--recalibrate_bn", action="store_true",
+                   help="Re-estimate BatchNorm running stats with one exact "
+                        "dropout-free pass before predicting (removes EMA "
+                        "lag and bf16 batch-stat noise; see BENCHMARKS.md)")
     p.add_argument("--boundary_self_loops", action="store_true",
                    help="Add one self-edge per boundary face (the reference's "
                         "unfiltered-inference graph, inference.py:256); "

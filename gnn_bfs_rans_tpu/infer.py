@@ -134,6 +134,42 @@ class Predictor:
             out = orig
         return out
 
+    def recalibrate_bn(self, graph: Graph) -> None:
+        """Re-estimate BatchNorm running statistics from one exact pass.
+
+        BN batch statistics depend only on the geometry input (node
+        coordinates), so a single train-mode forward on ``graph`` yields the
+        EXACT statistics of the current parameters; the EMA update is
+        inverted algebraically (batch = (upd − (1−m)·old)/m) and the running
+        stats replaced outright.  Motivation (BENCHMARKS.md round-4 accuracy
+        notes): under bf16 training the per-step batch stats wobble at the
+        bf16 noise floor and the EMA lags parameter movement, leaving a
+        measured ~3× eval-vs-train loss gap even at converged parameters —
+        the standard BN re-estimation pass removes both effects.  No-op for
+        models without batch-norm stats.
+        """
+        if not self.batch_stats:
+            return
+        import dataclasses as _dc
+
+        import jax
+
+        momentum = 0.1  # MaskedBatchNorm/FusedEpilogueBN default
+        # dropout OFF for the estimation pass: eval runs deterministically,
+        # so the stats should describe the deterministic forward
+        model0 = FlowGNN(_dc.replace(self.model_config, dropout=0.0))
+        _, upd = model0.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            graph, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(0, impl="rbg")},
+        )
+        new_bs = jax.tree.map(
+            lambda old, ema: (ema - (1.0 - momentum) * old) / momentum,
+            self.batch_stats, upd["batch_stats"],
+        )
+        object.__setattr__(self, "batch_stats", new_bs)
+        self._compiled = None  # stats changed: refresh any AOT executable
+
     def predict_fields(
         self, graph: Graph, denormalize: bool = True
     ) -> dict[str, np.ndarray]:
@@ -151,6 +187,7 @@ def predict_case(
     name: str = "best",
     backend: str | None = "dense",
     boundary_self_loops: bool = False,
+    recalibrate_bn: bool = False,
 ) -> tuple[Predictor, dict[str, np.ndarray], Graph]:
     """End-to-end: load checkpoint, parse case, build graph, predict.
 
@@ -180,5 +217,7 @@ def predict_case(
         graph = build_graph(
             mesh, boundary_self_loops=boundary_self_loops
         ).to_device()
+    if recalibrate_bn:
+        predictor.recalibrate_bn(graph)
     fields = predictor.predict_fields(graph)
     return predictor, fields, graph

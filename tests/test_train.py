@@ -292,3 +292,48 @@ class TestTrainerAOT:
                      TrainConfig(epochs=1), output_dir=tmp_path,
                      log_fn=lambda *a: None)  # aot='auto' → off on CPU
         assert tr.aot_dir is None
+
+
+class TestBNRecalibration:
+    def test_recalibrate_closes_eval_gap(self, small_dataset, tmp_path):
+        """BN re-estimation (Predictor.recalibrate_bn): after replacing the
+        running stats with one exact dropout-free pass, eval-mode output
+        matches the deterministic train-mode forward (VERDICT r4 accuracy
+        diagnosis: EMA lag + bf16 batch-stat noise put a floor under
+        eval-mode loss)."""
+        import jax
+
+        from gnn_bfs_rans_tpu.infer import Predictor
+
+        mcfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN",
+                           dropout=0.1)
+        # few epochs: running stats are far from converged → a real gap
+        tcfg = TrainConfig(lr=1e-3, epochs=3, save_every=3, batch_size=1)
+        tr = Trainer(small_dataset, mcfg, tcfg, output_dir=tmp_path,
+                     log_fn=lambda *a: None)
+        tr.train()
+        pred = Predictor.from_checkpoint(tmp_path, "best", backend=None)
+        g = small_dataset.graph.to_device()
+
+        out_eval_before = pred.model.apply(
+            {"params": pred.params, "batch_stats": pred.batch_stats},
+            g, train=False)
+        pred.recalibrate_bn(g)
+        out_eval_after = pred.model.apply(
+            {"params": pred.params, "batch_stats": pred.batch_stats},
+            g, train=False)
+        import dataclasses as _dc
+
+        model0 = type(pred.model)(_dc.replace(pred.model_config, dropout=0.0))
+        out_train, _ = model0.apply(
+            {"params": pred.params, "batch_stats": pred.batch_stats},
+            g, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+
+        gap_before = float(jnp.abs(out_eval_before - out_train).max())
+        gap_after = float(jnp.abs(out_eval_after - out_train).max())
+        assert gap_after < gap_before * 0.05, (gap_before, gap_after)
+        # residual ~2e-4: the EMA inversion divides by momentum (0.1),
+        # amplifying f32 rounding of the stored stats 10x — still ~100x
+        # tighter than the pre-recalibration gap
+        assert gap_after < 1e-3
