@@ -170,8 +170,15 @@ def _spmm_kernel(a_ref, *refs, window, group):
     xs, o_ref = refs[:span], refs[span]
     tile = xs[0].shape[0]
     prec = _prec(xs[0].dtype)
+    # Mosaic rejects mixed-dtype operands on the HIGHEST-precision (f32
+    # multi-pass) path ("Bad lhs type"): a bf16 coefficient tensor (the 0/1
+    # ``adj`` — exact in bf16) against f32 features must upcast in VMEM.
+    # The bf16 feature path keeps the raw coeff dtype (single-pass MXU
+    # accepts the mix and the bf16 stream is the point of storing adj small).
+    up = (jnp.float32 if xs[0].dtype == jnp.float32
+          and a_ref.dtype != jnp.float32 else None)
     for g in range(group):
-        a = a_ref[g]
+        a = a_ref[g] if up is None else a_ref[g].astype(up)
         acc = jnp.dot(a[0], xs[g][:], preferred_element_type=jnp.float32,
                       precision=prec)
         for k in range(1, window):

@@ -56,13 +56,16 @@ from .banded import (
 _MEAN, _EFF_SCALE, _EFF_BIAS, _INV_STD, _G1N, _G2N = 0, 1, 2, 3, 4, 5
 
 
-def _pick_block(n_pad: int, feat: int) -> int:
+def _pick_block(n_pad: int, feat: int, itemsize: int = 4) -> int:
     """Rows per grid step: the largest 8-aligned divisor of ``n_pad`` whose
-    block stays ≤ ~1 MiB.  A general divisor search matters: a padded size
+    block stays ≤ 512 KiB.  A general divisor search matters: a padded size
     like 1,000,064 = 2⁷·13·601 has no power-of-two divisor above 128, and
     128-row blocks mean ~8k grid steps of pure overhead per kernel (measured
-    as a 15 ms/step regression at 1M cells); 1,664 divides it."""
-    cap = max(512 * 1024 // feat, 8)  # ≤512k elements per block
+    as a 15 ms/step regression at 1M cells); 1,664 divides it.  The cap is
+    in BYTES: an element-count cap let f32 H=256 blocks reach 2 MiB and the
+    backward kernel's in-register f32 temporaries blew the 16 MiB scoped-
+    VMEM stack ("Scoped allocation ... exceeded scoped vmem limit")."""
+    cap = max(512 * 1024 // (feat * itemsize), 8)
     best = 8
     for b in range(8, min(cap, n_pad) + 1, 8):
         if n_pad % b == 0:
@@ -215,7 +218,7 @@ def _fused_fwd_impl(x, x_new, scale, bias, seed, n_valid, rate, eps):
     # mixed input dtypes promote as in the unfused path
     xr_dtype = jnp.promote_types(x.dtype, x_new.dtype)
     n_pad, feat = x.shape
-    block = _pick_block(n_pad, feat)
+    block = _pick_block(n_pad, feat, jnp.dtype(xr_dtype).itemsize)
     grid = (n_pad // block,)
     xr, partials = pl.pallas_call(
         functools.partial(_res_stats_kernel, n_valid, block),
@@ -259,7 +262,7 @@ def _fused_vjp_bwd(n_valid, rate, eps, res, cts):
     xr, vec, seed_in, x_dt, xn_dt = res
     x_dt, xn_dt = x_dt.dtype, xn_dt.dtype
     n_pad, feat = xr.shape
-    block = _pick_block(n_pad, feat)
+    block = _pick_block(n_pad, feat, jnp.dtype(xr.dtype).itemsize)
     grid = (n_pad // block,)
     _, seed_spec = _seed_arg(None)
 

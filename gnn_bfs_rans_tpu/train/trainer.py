@@ -150,8 +150,13 @@ class Trainer:
         # model.init runs kernels eagerly — give it the same Mosaic recovery
         # as the wrapped steps (param trees are backend-independent, so a
         # dense-backend init yields identical parameters)
+        import dataclasses as _dc
+
+        dense = FlowGNN(_dc.replace(self.model_config, backend="dense"))
         self.state = run_with_group_retry(
             lambda: init_state(self.model, self.graph, self.config, init_rng),
+            fallback_fn=lambda: init_state(
+                dense, self.graph, self.config, init_rng),
             log=self.log, name="parameter init",
         )
         if resume:
@@ -376,8 +381,16 @@ class Trainer:
         n = self.dataset.n_snapshots
         from ..kernels.fallback import GroupFallback
 
+        def _dense_block():
+            import dataclasses as _dc
+
+            dense_model = FlowGNN(_dc.replace(self.model_config,
+                                              backend="dense"))
+            return make_epoch_block(dense_model, cfg, n)
+
         block_fn = GroupFallback(
             lambda: self._aot_wrap(make_epoch_block(self.model, cfg, n)),
+            dense_build=_dense_block,
             log=lambda *a, **k: self.log(*a, **k), name="epoch block",
         )
         self.rng, loop_rng = jax.random.split(self.rng)
