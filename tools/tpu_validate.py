@@ -257,6 +257,45 @@ def validate_dropout(band, z, a_s, a_d, H):
            abs(lhs - rhs) / max(1.0, abs(rhs)), 1e-2)
 
 
+def validate_spmm():
+    """Banded SpMM on BOTH dtype paths — incl. the bf16-coeff × f32-x mix.
+
+    Regression guard for the round-4 "Bad lhs type" Mosaic failure: the 0/1
+    adjacency is stored bf16 while the f32 accuracy path feeds f32 features
+    into a HIGHEST-precision dot; the kernel must upcast the coefficients
+    in VMEM (GIN --compute_dtype float32 crashed at init before the fix).
+    """
+    from gnn_bfs_rans_tpu.kernels.banded import banded_spmm
+
+    g, band = band_graph()
+    n = g.n_pad
+    rng = np.random.default_rng(9)
+    # dense reference from the band structure
+    coeff = np.asarray(band.gcn, np.float32)
+    n_tiles, window, tile, _ = coeff.shape
+    k0 = (window - 1) // 2
+    dense = np.zeros((n, n), np.float32)
+    for t in range(n_tiles):
+        for k in range(window):
+            src = t + k - k0
+            if 0 <= src < n_tiles:
+                dense[t*tile:(t+1)*tile, src*tile:(src+1)*tile] = coeff[t, k]
+    for dt, tag in ((jnp.float32, "f32_x"), (jnp.bfloat16, "bf16_x")):
+        x = jnp.asarray(rng.normal(size=(n, 128)), dt)
+        ref = dense @ np.asarray(x, np.float32)
+        # f32 coeffs (gcn) vs x
+        got = banded_spmm(jnp.asarray(band.gcn), x)
+        record(f"spmm_gcn_{tag}", "fwd_vs_dense",
+               float(np.abs(np.asarray(got, np.float32) - ref).max()
+                     / max(np.abs(ref).max(), 1)),
+               1e-5 if dt == jnp.float32 else 2e-2)
+        # bf16 coeffs (adj-style cast) vs x — the mixed-dtype path
+        got2 = banded_spmm(jnp.asarray(band.gcn).astype(jnp.bfloat16), x)
+        record(f"spmm_bf16coeff_{tag}", "fwd_vs_dense",
+               float(np.abs(np.asarray(got2, np.float32) - ref).max()
+                     / max(np.abs(ref).max(), 1)), 2e-2)
+
+
 def validate_epilogue():
     """Fused residual+BN+ReLU+dropout epilogue (kernels.epilogue) on device.
 
@@ -368,6 +407,7 @@ def main():
     validate_edge_and_geo(band, q, k, v, qw, H)
     validate_geo()
     validate_dropout(band, z, a_s, a_d, H)
+    validate_spmm()
     validate_epilogue()
 
     artifact = {
