@@ -337,3 +337,24 @@ class TestBNRecalibration:
         # amplifying f32 rounding of the stored stats 10x — still ~100x
         # tighter than the pre-recalibration gap
         assert gap_after < 1e-3
+
+
+class TestShowcaseCheckpoint:
+    def test_shipped_checkpoint_loads_and_predicts(self):
+        """The committed examples/showcase_checkpoint must stay loadable and
+        produce physical-range predictions (guards repo artifact corruption;
+        the reference ships no trained checkpoint at all)."""
+        from pathlib import Path
+
+        from gnn_bfs_rans_tpu.infer import predict_case
+
+        ckpt = Path(__file__).resolve().parents[1] / "examples" / "showcase_checkpoint"
+        if not ckpt.exists():
+            import pytest
+
+            pytest.skip("showcase checkpoint not present")
+        _, fields, graph = predict_case(ckpt, "/root/reference/OpenFOAM-data")
+        assert fields["U"].shape == (12225, 3)
+        assert np.isfinite(fields["U"]).all()
+        # trained surrogate: bulk velocity scale ~O(1-10) m/s, not garbage
+        assert 0.5 < np.abs(fields["U"]).max() < 50
