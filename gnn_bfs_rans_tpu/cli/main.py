@@ -65,6 +65,7 @@ def cmd_train(args) -> int:
         plateau_min_lr=args.min_lr,
         scheduler=args.scheduler,
         epoch_block=args.epoch_block,
+        bn_recal=args.bn_recal,
     )
     trainer = Trainer(dataset, mcfg, tcfg, output_dir=out_dir,
                       progress=getattr(args, "progress", False),
@@ -86,6 +87,8 @@ def cmd_infer(args) -> int:
         args.checkpoint, args.case_path, name=args.checkpoint_name,
         boundary_self_loops=getattr(args, "boundary_self_loops", False),
         recalibrate_bn=getattr(args, "recalibrate_bn", False),
+        exact_bn={"auto": "auto", "on": True, "off": False}[
+            getattr(args, "bn_exact", "auto")],
     )
     print(f"Graph: {graph.n_nodes} nodes, {graph.n_edges} edges")
     print("Prediction completed!")
@@ -320,6 +323,7 @@ def cmd_bench(args) -> int:
         steps=args.steps,
         mode=args.mode,
         compute_dtype=args.compute_dtype,
+        trace=getattr(args, "trace", False),
     )
     print(json.dumps(result))
     return 0
@@ -475,9 +479,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", type=str, default="dense",
                    choices=["segment", "dense", "pallas"])
     p.add_argument("--compute_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "mixed"])
     p.add_argument("--norm_type", type=str, default="batch",
                    choices=["batch", "layer", "none"])
+    p.add_argument("--bn_recal", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="BatchNorm recalibration: eval/best-selection on "
+                        "exact batch statistics and checkpoints saved with "
+                        "them (train/recal.py). auto = on for bfloat16 "
+                        "batch-norm models")
     p.add_argument("--include_uniform", action="store_true",
                    help="Keep uniform (initial-condition) snapshots")
     p.add_argument("--resume", action="store_true",
@@ -503,6 +513,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Re-estimate BatchNorm running stats with one exact "
                         "dropout-free pass before predicting (removes EMA "
                         "lag and bf16 batch-stat noise; see BENCHMARKS.md)")
+    p.add_argument("--bn_exact", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Predict through the arithmetic-consistent "
+                        "deterministic train-mode forward (exact in-forward "
+                        "BN statistics). auto = on for checkpoints trained "
+                        "with --bn_recal")
     p.add_argument("--boundary_self_loops", action="store_true",
                    help="Add one self-edge per boundary face (the reference's "
                         "unfiltered-inference graph, inference.py:256); "
@@ -620,7 +636,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--backend", type=str, default="dense")
     p.add_argument("--compute_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "mixed"])
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--mode", type=str, default="forward",
                    choices=["forward", "train", "dp"])
@@ -630,6 +646,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "count=N JAX_PLATFORMS=cpu for a virtual mesh)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="Benchmark a synthetic quad-grid of ~N cells instead")
+    p.add_argument("--trace", action="store_true",
+                   help="Also capture a per-op device trace of the step — a "
+                        "dispatch-independent third timing witness "
+                        "(utils.trace); adds a 'trace' block to the JSON")
     p.set_defaults(func=cmd_bench)
 
     return parser

@@ -36,14 +36,27 @@ class Predictor:
     # making pallas-backend one-shot inference cold-start competitive with
     # dense (ROADMAP "compile latency").
     aot_dir: Path | None = None
+    # Arithmetic-consistent BN forward: predict through the deterministic
+    # (dropout-free) TRAIN-mode forward — BatchNorm normalizes with the
+    # exact batch statistics of the input graph, computed in-forward.
+    # Analytically identical to eval-mode with recalibrated running stats;
+    # numerically it reproduces the TRAINING forward's arithmetic schedule
+    # bit-for-bit.  Round-5 measurement (mixed-precision GAT 6×256): the
+    # reduced-precision forward is chaotic at sensitive nodes — ~2e-4
+    # kernel-vs-unfused affine differences flip bf16 rounding at conv
+    # entries and cost MAE(U) 0.0135 → 0.020; the train-consistent forward
+    # recovers the training metric exactly.  Enabled automatically for
+    # checkpoints trained with bn_recal (meta['bn_recalibrated']).
+    exact_bn: bool = False
 
     @classmethod
     def from_checkpoint(
         cls,
         checkpoint_dir: str | Path,
         name: str = "best",
-        backend: str | None = "dense",
+        backend: str | None = "auto",
         aot: bool | str = "auto",
+        exact_bn: bool | str = "auto",
     ) -> "Predictor":
         """Reconstruct the exact model from the embedded config
 
@@ -58,12 +71,26 @@ class Predictor:
         and serialization is reliable; XLA:CPU AOT deserialization can
         reference missing fusions on mismatched host machine features.
         Pass ``backend=None`` to keep the training backend.
+
+        ``exact_bn``: 'auto' enables the arithmetic-consistent train-mode
+        forward for checkpoints trained with BN recalibration
+        (``meta['bn_recalibrated']``) — see :attr:`exact_bn`.  For those
+        checkpoints ``backend='auto'`` keeps the TRAINING backend too:
+        arithmetic consistency requires the same kernels, and a reduced-
+        precision model's accuracy depends on it (round-5 measurement:
+        dense-backend inference of the pallas-trained mixed GAT costs
+        MAE(U) 0.0143 → 0.0185).  For ordinary f32 checkpoints 'auto'
+        resolves to 'dense' — the fastest cold start for one forward.
         """
         import jax
 
         if aot == "auto":
             aot = jax.default_backend() == "tpu"
         meta = load_meta(checkpoint_dir, name)
+        if exact_bn == "auto":
+            exact_bn = bool(meta.get("bn_recalibrated"))
+        if backend == "auto":
+            backend = None if exact_bn else "dense"
         model_config = ModelConfig.from_dict(meta["model_config"])
         if backend is not None and model_config.backend != backend:
             import dataclasses as _dc
@@ -84,10 +111,11 @@ class Predictor:
             normalizer=normalizer,
             meta=meta,
             aot_dir=(Path(checkpoint_dir) / "aot") if aot else None,
+            exact_bn=bool(exact_bn),
         )
 
     def __post_init__(self):
-        self._forward = make_forward(self.model)
+        self._forward = make_forward(self.model, exact_bn=self.exact_bn)
         self._compiled = None
 
     def _run_forward(self, graph: Graph):
@@ -97,11 +125,12 @@ class Predictor:
             from .kernels.fallback import GroupFallback
 
             if not isinstance(self._forward, GroupFallback):
-                model = self.model
+                model, xbn = self.model, self.exact_bn
                 self._forward = GroupFallback(
-                    lambda: make_forward(model),
+                    lambda: make_forward(model, exact_bn=xbn),
                     dense_build=lambda: make_forward(FlowGNN(
-                        dataclasses.replace(model.config, backend="dense"))),
+                        dataclasses.replace(model.config, backend="dense")),
+                        exact_bn=xbn),
                     name="predictor forward",
                 )
             return self._forward(self.params, self.batch_stats, graph)
@@ -114,7 +143,9 @@ class Predictor:
 
             self._compiled = (sig, load_or_compile(
                 self._forward, (self.params, self.batch_stats, graph),
-                self.aot_dir, label="predictor-forward",
+                self.aot_dir,
+                label=("predictor-forward-exactbn" if self.exact_bn
+                       else "predictor-forward"),
             ))
         return self._compiled[1](self.params, self.batch_stats, graph)
 
@@ -150,22 +181,10 @@ class Predictor:
         """
         if not self.batch_stats:
             return
-        import dataclasses as _dc
+        from .train.recal import make_exact_stats_fn
 
-        import jax
-
-        momentum = 0.1  # MaskedBatchNorm/FusedEpilogueBN default
-        # dropout OFF for the estimation pass: eval runs deterministically,
-        # so the stats should describe the deterministic forward
-        model0 = FlowGNN(_dc.replace(self.model_config, dropout=0.0))
-        _, upd = model0.apply(
-            {"params": self.params, "batch_stats": self.batch_stats},
-            graph, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.key(0, impl="rbg")},
-        )
-        new_bs = jax.tree.map(
-            lambda old, ema: (ema - (1.0 - momentum) * old) / momentum,
-            self.batch_stats, upd["batch_stats"],
+        new_bs = make_exact_stats_fn(self.model_config)(
+            self.params, self.batch_stats, graph
         )
         object.__setattr__(self, "batch_stats", new_bs)
         self._compiled = None  # stats changed: refresh any AOT executable
@@ -185,15 +204,18 @@ def predict_case(
     checkpoint_dir: str | Path,
     case_path: str | Path,
     name: str = "best",
-    backend: str | None = "dense",
+    backend: str | None = "auto",
     boundary_self_loops: bool = False,
     recalibrate_bn: bool = False,
+    exact_bn: bool | str = "auto",
 ) -> tuple[Predictor, dict[str, np.ndarray], Graph]:
     """End-to-end: load checkpoint, parse case, build graph, predict.
 
-    ``backend`` as in :meth:`Predictor.from_checkpoint` (default: dense —
-    fastest cold-start for a one-shot forward).  When the effective backend
-    is pallas, the graph gets the banded adjacency component its conv reads.
+    ``backend`` as in :meth:`Predictor.from_checkpoint` (default 'auto':
+    dense — fastest cold-start — for ordinary checkpoints; the training
+    backend for recal-trained ones, where arithmetic consistency is the
+    accuracy mechanism).  When the effective backend is pallas, the graph
+    gets the banded adjacency component its conv reads.
 
     ``boundary_self_loops`` adds one self-edge per boundary face, the
     reference's unfiltered-inference graph variant (``inference.py:256`` →
@@ -201,7 +223,9 @@ def predict_case(
     training graph — the quirk-4 fix — so train and inference see identical
     topology; the flag exists for A/B parity studies.
     """
-    predictor = Predictor.from_checkpoint(checkpoint_dir, name, backend=backend)
+    predictor = Predictor.from_checkpoint(
+        checkpoint_dir, name, backend=backend, exact_bn=exact_bn
+    )
     case = FoamCase(case_path)
     mesh = case.load_mesh()
     cfg = predictor.model_config

@@ -53,7 +53,17 @@ class ModelConfig:
     norm_type: str = "batch"
     use_edge_attr: bool = True   # feeds edge features to Transformer conv
     backend: str = "dense"       # segment | dense | pallas
-    compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
+    # float32 | bfloat16 | mixed (params stay f32 in all modes).
+    # 'mixed': bfloat16 inside the convs and output MLP (MXU speed path) but
+    # a float32 residual stream — the per-layer epilogue (residual add + BN +
+    # ReLU + dropout) runs in f32, so rounding noise enters once per conv
+    # instead of compounding through every elementwise op across layers.
+    # Motivation (round-5 measurement): pure-bf16 activations put a
+    # forward-noise floor of ~0.02 MAE(U) under the flagship accuracy bar —
+    # f32-trained params evaluate at 0.0078 (f32) vs 0.0285 (bf16 forward);
+    # the mixed stream keeps most of the bf16 speed while removing the
+    # cross-layer accumulation term.
+    compute_dtype: str = "float32"
     # Fused-projection eval kernel for the edge-conditioned Transformer
     # (q/k/v projected inside the Pallas kernel).  Off by default: measured
     # slower than the unfused path on the BFS mesh (see models/convs.py NOTE).
@@ -95,9 +105,18 @@ class FlowGNN(nn.Module):
         self, graph: Graph, train: bool = False
     ) -> jax.Array:
         cfg = self.config
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        mixed = cfg.compute_dtype == "mixed"
+        dtype = (
+            jnp.bfloat16
+            if cfg.compute_dtype in ("bfloat16", "mixed")
+            else None
+        )
         x = graph.node_feat
         x = _lecun_linear(cfg.hidden_dim, name="input_proj", dtype=dtype)(x)
+        if mixed:
+            # f32 residual stream: convs see bf16 (cast at entry), their
+            # outputs rejoin the stream in f32; BN/ReLU/dropout stay f32
+            x = x.astype(jnp.float32)
 
         conv_cls = CONV_REGISTRY[cfg.layer_type]
         if cfg.remat:
@@ -128,7 +147,10 @@ class FlowGNN(nn.Module):
                 )
                 call_args = (not train,)
             layer = conv_cls(**kwargs)
-            x_new = layer(x, graph, *call_args)
+            x_in = x.astype(jnp.bfloat16) if mixed else x
+            x_new = layer(x_in, graph, *call_args)
+            if mixed:
+                x_new = x_new.astype(jnp.float32)
 
             fused_ep = (
                 cfg.fuse_epilogue
@@ -156,7 +178,9 @@ class FlowGNN(nn.Module):
                 # per-node LayerNorm: no cross-node statistics → identical in
                 # train/eval, padding-safe, and trivially correct under any
                 # sharding (the BN alternative named in SURVEY.md §7)
-                x = nn.LayerNorm(name=f"bn_{i}", dtype=dtype)(x)
+                x = nn.LayerNorm(
+                    name=f"bn_{i}", dtype=None if mixed else dtype
+                )(x)
             x = nn.relu(x)
             x = nn.Dropout(cfg.dropout, name=f"drop_{i}")(
                 x, deterministic=not train

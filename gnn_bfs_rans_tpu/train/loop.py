@@ -74,6 +74,15 @@ class TrainConfig:
     # version but NOT across TPU/CPU or across JAX/XLA upgrades — set
     # rng_impl='threefry' when a seed must reproduce bitwise anywhere.
     rng_impl: str = "auto"
+    # BatchNorm recalibration mode ('auto'|'on'|'off', train/recal.py).
+    # When resolved on: the epoch loop's val loss (and hence plateau
+    # scheduling + best-model selection) comes from a deterministic
+    # train-mode forward — BN normalizes with the EXACT batch statistics of
+    # the current parameters instead of the lagging/noisy running-stat EMA —
+    # and every checkpoint is saved with those exact statistics.  'auto' =
+    # on for bfloat16 batch-norm models (the measured failure mode), off
+    # otherwise (reference-parity eval semantics for f32).
+    bn_recal: str = "auto"
     # Epochs per device-resident lax.scan block (make_epoch_block).  1 =
     # host-driven loop (reference-parity dispatch).  >1 runs whole epochs
     # on-device and syncs the host once per block — the win is wall-clock:
@@ -194,16 +203,38 @@ def make_train_step(
     return train_step
 
 
-def make_eval_body(model: FlowGNN, cfg: TrainConfig) -> Callable:
+def make_eval_body(
+    model: FlowGNN, cfg: TrainConfig, recal: bool = False
+) -> Callable:
     """Unjitted eval body (loss, per-field errors, prediction) — shared by
-    the jitted eval step and the device-resident epoch block."""
+    the jitted eval step and the device-resident epoch block.
+
+    ``recal=True`` evaluates through a deterministic (dropout-free)
+    train-mode forward instead of the eval-mode one: BatchNorm normalizes
+    with the exact batch statistics of the current parameters rather than
+    the running-stat EMA.  Because the model input is geometry only, this is
+    precisely the loss an eval-mode forward would report after a BN
+    re-estimation pass (train/recal.py) — without running two forwards.
+    """
+    if recal:
+        import dataclasses as _dc
+
+        det_model = FlowGNN(_dc.replace(model.config, dropout=0.0))
 
     def eval_step(state: TrainState, graph: Graph, targets: jax.Array):
-        out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            graph,
-            train=False,
-        )
+        if recal:
+            out, _ = det_model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                graph,
+                train=True,
+                mutable=["batch_stats"],
+            )
+        else:
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                graph,
+                train=False,
+            )
         loss = jnp.mean(
             jax.vmap(
                 lambda t: weighted_fieldwise_mse(
@@ -229,11 +260,35 @@ def make_eval_body(model: FlowGNN, cfg: TrainConfig) -> Callable:
     return eval_step
 
 
-def make_eval_step(model: FlowGNN, cfg: TrainConfig) -> Callable:
-    return jax.jit(make_eval_body(model, cfg))
+def make_eval_step(
+    model: FlowGNN, cfg: TrainConfig, recal: bool = False
+) -> Callable:
+    return jax.jit(make_eval_body(model, cfg, recal=recal))
 
 
-def make_forward(model: FlowGNN) -> Callable:
+def make_forward(model: FlowGNN, exact_bn: bool = False) -> Callable:
+    """Jitted inference forward.
+
+    ``exact_bn=True`` predicts through the deterministic (dropout-free)
+    train-mode forward: BN normalizes with the exact batch statistics of
+    the input, computed in-forward — analytically the eval-mode forward
+    after a BN re-estimation pass, and numerically the TRAINING forward's
+    exact arithmetic schedule (see ``infer.Predictor.exact_bn``)."""
+    if exact_bn:
+        import dataclasses as _dc
+
+        det_model = FlowGNN(_dc.replace(model.config, dropout=0.0))
+
+        @jax.jit
+        def forward(params, batch_stats, graph: Graph):
+            out, _ = det_model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                graph, train=True, mutable=["batch_stats"],
+            )
+            return out
+
+        return forward
+
     @jax.jit
     def forward(params, batch_stats, graph: Graph):
         return model.apply(
@@ -317,7 +372,7 @@ def init_epoch_block_carry(
 
 
 def make_epoch_block(
-    model: FlowGNN, cfg: TrainConfig, n_snapshots: int
+    model: FlowGNN, cfg: TrainConfig, n_snapshots: int, recal: bool = False
 ) -> Callable:
     """Build the jitted multi-epoch training block.
 
@@ -338,7 +393,10 @@ def make_epoch_block(
     'best' checkpoint is the block-end one — documented in Trainer).
     """
     raw_step = make_train_step(model, cfg, jit=False)
-    eval_body = make_eval_body(model, cfg)
+    # recal: val loss (→ plateau scheduling + best-model selection) measured
+    # on the exact-batch-stats forward; the 'best' checkpoint is then saved
+    # with recalibrated statistics by the Trainer (see TrainConfig.bn_recal)
+    eval_body = make_eval_body(model, cfg, recal=recal)
     bsz = min(cfg.batch_size, n_snapshots)
     if n_snapshots % bsz:
         raise ValueError(

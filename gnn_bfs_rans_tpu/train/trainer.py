@@ -108,6 +108,18 @@ class Trainer:
 
             return FlowGNN(_dc.replace(model_config, backend="dense"))
 
+        # BN recalibration (train/recal.py): when resolved on, the val loss
+        # driving plateau scheduling and best-model selection comes from the
+        # exact-batch-stats forward, and checkpoints are saved with
+        # recalibrated statistics (_save).  'auto' = bfloat16 batch-norm
+        # models only — the measured eval-floor failure mode.
+        from .recal import make_exact_stats_fn, resolve_bn_recal
+
+        self.bn_recal = resolve_bn_recal(train_config.bn_recal, model_config)
+        self._exact_stats = (
+            jax.jit(make_exact_stats_fn(model_config)) if self.bn_recal else None
+        )
+
         # log late-bound through self.log: _open_pbar() swaps self.log to
         # tqdm.write, and fallback warnings must follow the swap or they
         # tear the progress bar (advisor round 3)
@@ -117,8 +129,10 @@ class Trainer:
             log=lambda *a, **k: self.log(*a, **k), name="train step",
         )
         self.eval_step = GroupFallback(
-            lambda: make_eval_step(self.model, train_config),
-            dense_build=lambda: make_eval_step(_dense_model(), train_config),
+            lambda: make_eval_step(self.model, train_config,
+                                   recal=self.bn_recal),
+            dense_build=lambda: make_eval_step(_dense_model(), train_config,
+                                               recal=self.bn_recal),
             log=lambda *a, **k: self.log(*a, **k), name="eval step",
         )
 
@@ -180,6 +194,9 @@ class Trainer:
             int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params)
         )
         self.log(f"Model parameters: {n_params:,}")
+        if self.bn_recal:
+            self.log("BN recalibration ON: val loss / best selection on "
+                     "exact batch statistics; checkpoints saved recalibrated")
 
     def _open_pbar(self):
         """Start the epoch progress bar and route log lines through
@@ -386,10 +403,11 @@ class Trainer:
 
             dense_model = FlowGNN(_dc.replace(self.model_config,
                                               backend="dense"))
-            return make_epoch_block(dense_model, cfg, n)
+            return make_epoch_block(dense_model, cfg, n, recal=self.bn_recal)
 
         block_fn = GroupFallback(
-            lambda: self._aot_wrap(make_epoch_block(self.model, cfg, n)),
+            lambda: self._aot_wrap(
+                make_epoch_block(self.model, cfg, n, recal=self.bn_recal)),
             dense_build=_dense_block,
             log=lambda *a, **k: self.log(*a, **k), name="epoch block",
         )
@@ -429,7 +447,8 @@ class Trainer:
             if key not in compiled:
                 compiled[key] = load_or_compile(
                     block, (carry, graph, targets, epoch0), self.aot_dir,
-                    label=f"epoch-block-k{n_epochs}-f{int(freeze)}",
+                    label=(f"epoch-block-k{n_epochs}-f{int(freeze)}"
+                           + ("-recal" if self.bn_recal else "")),
                     kwargs={"n_epochs": n_epochs, "freeze": freeze},
                 )
             return compiled[key](carry, graph, targets, epoch0)
@@ -543,10 +562,28 @@ class Trainer:
         return epoch
 
     def _save(self, name: str, epoch: int, val_loss: float, extra: dict) -> None:
+        state = self.state
+        if self.bn_recal:
+            # Save with EXACT batch statistics for the saved parameters
+            # (train/recal.py): one deterministic forward + EMA inversion.
+            # The training state itself keeps its EMA stats — recalibration
+            # affects what eval/inference sees, not the optimization.
+            try:
+                exact = self._exact_stats(
+                    state.params, state.batch_stats, self.graph
+                )
+                state = state.replace(batch_stats=exact)
+                extra = {**extra, "bn_recalibrated": True}
+            except Exception as e:  # noqa: BLE001 — e.g. Mosaic compile
+                # failure after the train path fell back to dense; an
+                # un-recalibrated checkpoint is still valid (and
+                # `infer --recalibrate_bn` can recover it later)
+                self.log(f"BN recalibration at save failed ({e}); "
+                         "saving running-EMA statistics")
         save_checkpoint(
             self.output_dir,
             name,
-            self.state,
+            state,
             epoch=epoch,
             val_loss=val_loss,
             model_config=self.model_config,

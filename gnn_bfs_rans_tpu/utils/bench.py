@@ -255,12 +255,18 @@ def run_benchmark(
     baseline_msgs_per_sec: float = 1e8,
     compute_dtype: str = "bfloat16",
     cross_check: bool = True,
+    trace: bool = False,
 ) -> dict:
     """Benchmark a model config on the BFS mesh; returns a JSON-able dict.
 
     Defaults are the flagship configuration: 4-layer GAT, fused banded Pallas
     attention kernels, bfloat16 compute.  The returned dict carries both
     timing modes, analytic FLOPs, MFU, and the roofline bound class.
+
+    ``trace=True`` additionally captures a per-op device trace (utils.trace)
+    of the same step and reports the summed device-lane time — a
+    dispatch-independent third witness that stays meaningful at sub-ms step
+    times where the steady-state probe measures only tunnel cost.
     """
     from ..graph.band import LAYER_COMPONENTS
     from ..models.flow_gnn import FlowGNN, ModelConfig
@@ -292,6 +298,7 @@ def run_benchmark(
     edge_messages = num_layers * graph.n_edges
 
     steady_s: float | None = None
+    launch = None  # single-step dispatcher (steady-state probe + trace)
     if mode == "forward":
         def apply_fn(g):
             return model.apply(
@@ -301,10 +308,12 @@ def run_benchmark(
 
         timing = chained_marginal_time(apply_fn, graph, reps=max(steps, 64))
 
-        if cross_check:
+        if cross_check or trace:
             fwd = jax.jit(apply_fn)
             _fetch_scalar(fwd(graph))  # compile
-            steady_s = steady_state_time(lambda i: fwd(graph))
+            launch = lambda i: fwd(graph)  # noqa: E731
+        if cross_check:
+            steady_s = steady_state_time(launch)
     else:
         # Chained-marginal timing for the train step too: K data-dependent
         # steps inside one executable; the marginal cost per step cancels the
@@ -344,8 +353,9 @@ def run_benchmark(
             reps *= 2
         timing = _marginal_from_times(t_base, t_full, base, reps, spread, 5)
 
-        if cross_check:
-            # donation-safe steady-state: thread the state like a real run
+        if cross_check or trace:
+            # donation-safe single-step dispatch: thread the state like a
+            # real run
             jstep = make_train_step(model, tcfg)
             st = init_state(model, graph, tcfg, jax.random.PRNGKey(0))
             st, l0 = jstep(st, graph, targets, lr, rng)
@@ -358,10 +368,27 @@ def run_benchmark(
                     jax.random.fold_in(rng, i))
                 return loss
 
-            steady_s = steady_state_time(dispatch, steps=32, base=4)
+            launch = dispatch
+        if cross_check:
+            steady_s = steady_state_time(launch, steps=32, base=4)
 
     step_s = timing.step_s
     check = _cross_check(step_s, steady_s)
+
+    trace_info = None
+    if trace and launch is not None:
+        from . import trace as trace_mod
+
+        tres = trace_mod.trace_steps(launch, n_steps=32)
+        device_s = tres["device_total_s_per_step"]
+        trace_info = {
+            "device_total_s_per_step": device_s,
+            # device-lane total vs chained marginal: the two independent
+            # methods should agree; >15% disagreement flags a broken harness
+            "trace_over_chained": device_s / step_s,
+            "agreement_15pct": bool(abs(device_s / step_s - 1.0) <= 0.15),
+            **trace_mod.top_ops(tres, n=20),
+        }
 
     # Roofline: analytic FLOPs vs measured time must respect chip peak.
     roof = roofline.analyze(
@@ -398,6 +425,7 @@ def run_benchmark(
         "timing": "chained_marginal",
         "timing_detail": timing.to_dict(),
         "cross_check": check,
+        **({"trace": trace_info} if trace_info is not None else {}),
         "matmul_flops": roof["matmul_flops"],
         "mfu": roof["mfu"],
         "bound": roof["bound"],

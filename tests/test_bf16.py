@@ -109,6 +109,55 @@ def test_bf16_trains(tiny_graph):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.parametrize("layer_type", ["GCN", "GAT"])
+def test_mixed_forward_closer_to_f32_than_bf16(tiny_graph, layer_type):
+    """compute_dtype='mixed' (bf16 convs/MLP, f32 residual stream + BN):
+    output must be at least as close to the f32 reference as the pure-bf16
+    forward, and params stay f32 (round-5 accuracy design)."""
+    g, adj = tiny_graph
+    mk = lambda dt: ModelConfig(hidden_dim=32, num_layers=2,  # noqa: E731
+                                layer_type=layer_type, dropout=0.0,
+                                backend="dense", compute_dtype=dt)
+    m32, m16, mmx = (FlowGNN(mk(d)) for d in ("float32", "bfloat16", "mixed"))
+    variables = m32.init(jax.random.PRNGKey(0), g, train=False)
+    for leaf in jax.tree.leaves(variables["params"]):
+        assert leaf.dtype == np.float32
+    out32 = np.asarray(m32.apply(variables, g, train=False))
+    out16 = np.asarray(m16.apply(variables, g, train=False))
+    outmx = np.asarray(mmx.apply(variables, g, train=False))
+    assert outmx.dtype == np.float32
+    err16 = np.abs(out32 - out16).max()
+    errmx = np.abs(out32 - outmx).max()
+    assert errmx <= err16 * 1.05, (errmx, err16)
+    assert errmx < 0.05 * (np.abs(out32).max() + 1e-6)
+
+
+def test_mixed_trains(tiny_graph):
+    import jax.numpy as jnp
+
+    from gnn_bfs_rans_tpu.train import TrainConfig
+    from gnn_bfs_rans_tpu.train.loop import init_state, make_train_step
+
+    g, adj = tiny_graph
+    cfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN",
+                      dropout=0.0, backend="dense", compute_dtype="mixed")
+    tcfg = TrainConfig(lr=3e-3)
+    model = FlowGNN(cfg)
+    state = init_state(model, g, tcfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, tcfg)
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(
+        rng.normal(size=(2, g.n_pad, 7)).astype(np.float32) * 0.1
+    )
+    losses = []
+    for i in range(25):
+        state, loss = step(state, g, targets, jnp.asarray(3e-3, jnp.float32),
+                           jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_layer_norm_variant(tiny_graph):
     """norm_type='layer': train/eval identical, trains, partition-safe."""
     import jax.numpy as jnp

@@ -339,6 +339,127 @@ class TestBNRecalibration:
         assert gap_after < 1e-3
 
 
+class TestTrainTimeBNRecal:
+    """Round-5: bn_recal folds the BN re-estimation into TRAINING — val loss
+    and best-model selection run on exact batch statistics, and checkpoints
+    are saved recalibrated (VERDICT r4 item 1)."""
+
+    def test_resolve_modes(self):
+        from gnn_bfs_rans_tpu.train.recal import resolve_bn_recal
+
+        f32 = ModelConfig()
+        bf16 = ModelConfig(compute_dtype="bfloat16")
+        ln = ModelConfig(compute_dtype="bfloat16", norm_type="layer")
+        assert resolve_bn_recal("auto", f32) is False
+        assert resolve_bn_recal("auto", bf16) is True
+        assert resolve_bn_recal("auto", ln) is False  # nothing to recalibrate
+        assert resolve_bn_recal("on", f32) is True
+        assert resolve_bn_recal("on", ln) is False
+        assert resolve_bn_recal("off", bf16) is False
+        with pytest.raises(ValueError):
+            resolve_bn_recal("maybe", f32)
+
+    def test_checkpoint_saved_with_exact_stats(self, small_dataset, tmp_path):
+        """With bn_recal on, the saved checkpoint's eval-mode forward matches
+        the deterministic train-mode forward (no EMA gap left to recover)."""
+        import dataclasses as _dc
+
+        from gnn_bfs_rans_tpu.infer import Predictor
+
+        mcfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN",
+                           dropout=0.1)
+        tcfg = TrainConfig(lr=1e-3, epochs=3, save_every=3, batch_size=1,
+                           bn_recal="on")
+        tr = Trainer(small_dataset, mcfg, tcfg, output_dir=tmp_path,
+                     log_fn=lambda *a: None)
+        assert tr.bn_recal is True
+        tr.train()
+
+        from gnn_bfs_rans_tpu.train.checkpoint import load_meta
+
+        assert load_meta(tmp_path, "best").get("bn_recalibrated") is True
+
+        pred = Predictor.from_checkpoint(tmp_path, "best", backend=None)
+        g = small_dataset.graph.to_device()
+        out_eval = pred.model.apply(
+            {"params": pred.params, "batch_stats": pred.batch_stats},
+            g, train=False)
+        model0 = type(pred.model)(_dc.replace(pred.model_config, dropout=0.0))
+        out_train, _ = model0.apply(
+            {"params": pred.params, "batch_stats": pred.batch_stats},
+            g, train=True, mutable=["batch_stats"])
+        gap = float(jnp.abs(out_eval - out_train).max())
+        # eval ≈ deterministic train forward directly off disk (residual:
+        # EMA-inversion f32 rounding + biased/unbiased var at n=12225)
+        assert gap < 1e-3, gap
+
+    def test_blocked_loop_recal_val_is_exact_stats_loss(
+        self, small_dataset, tmp_path
+    ):
+        """In the device-resident epoch block, the recorded val loss equals
+        the exact-batch-stats eval loss of the block-end state."""
+        from gnn_bfs_rans_tpu.train.loop import make_eval_body
+
+        mcfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN",
+                           dropout=0.0)
+        tcfg = TrainConfig(lr=1e-3, epochs=4, save_every=4, batch_size=3,
+                           epoch_block=4, bn_recal="on")
+        tr = Trainer(small_dataset, mcfg, tcfg, output_dir=tmp_path,
+                     log_fn=lambda *a: None)
+        hist = tr.train()
+        assert len(hist["val_loss"]) == 4
+        loss, _, _ = jax.jit(make_eval_body(tr.model, tcfg, recal=True))(
+            tr.state, tr.graph, tr.targets
+        )
+        np.testing.assert_allclose(
+            hist["val_loss"][-1], float(loss), rtol=1e-6
+        )
+
+    def test_exact_bn_predictor_matches_recal_eval(
+        self, small_dataset, tmp_path
+    ):
+        """A recal-trained checkpoint auto-selects the arithmetic-consistent
+        train-mode forward at inference, reproducing the training metric's
+        forward exactly (round-5: the eval-mode affine's ~2e-4 numerical
+        differences re-roll reduced-precision rounding at sensitive nodes)."""
+        from gnn_bfs_rans_tpu.infer import Predictor
+        from gnn_bfs_rans_tpu.train.loop import make_eval_body
+
+        mcfg = ModelConfig(hidden_dim=32, num_layers=2, layer_type="GCN",
+                           dropout=0.1)
+        tcfg = TrainConfig(lr=1e-3, epochs=2, save_every=2, bn_recal="on")
+        tr = Trainer(small_dataset, mcfg, tcfg, output_dir=tmp_path,
+                     log_fn=lambda *a: None)
+        tr.train()
+        pred = Predictor.from_checkpoint(tmp_path, "best", backend=None)
+        assert pred.exact_bn is True  # auto from meta['bn_recalibrated']
+        g = small_dataset.graph.to_device()
+        out = pred._run_forward(g)
+        _, _, out_recal = jax.jit(make_eval_body(tr.model, tcfg, recal=True))(
+            tr.state, tr.graph, tr.targets
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_recal), rtol=0, atol=1e-6
+        )
+        # off/default-eval predictor still works and agrees closely in f32
+        pred_off = Predictor.from_checkpoint(
+            tmp_path, "best", backend=None, exact_bn=False
+        )
+        assert pred_off.exact_bn is False
+        out_off = pred_off._run_forward(g)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_off), rtol=0, atol=1e-3
+        )
+
+    def test_recal_default_off_for_f32(self, small_dataset, tmp_path):
+        """auto keeps reference-parity eval semantics for f32 models."""
+        mcfg = ModelConfig(hidden_dim=16, num_layers=2)
+        tcfg = TrainConfig(epochs=1)
+        tr = Trainer(small_dataset, mcfg, tcfg, output_dir=tmp_path,
+                     log_fn=lambda *a: None)
+        assert tr.bn_recal is False
+
+
 class TestShowcaseCheckpoint:
     def test_shipped_checkpoint_loads_and_predicts(self):
         """The committed examples/showcase_checkpoint must stay loadable and

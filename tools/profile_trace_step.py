@@ -16,13 +16,9 @@ Usage: python tools/profile_trace_step.py [--nodes 1000000] [--steps 3]
 from __future__ import annotations
 
 import argparse
-import collections
-import glob
-import gzip
 import json
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -78,46 +74,21 @@ def main():
     state, loss = step(state, graph, targets, lr, rng)
     np.asarray(jax.device_get(loss))
 
-    tdir = tempfile.mkdtemp(prefix="step-trace-")
-    jax.profiler.start_trace(tdir)
-    for i in range(args.steps):
-        state, loss = step(state, graph, targets, lr,
-                           jax.random.fold_in(rng, i))
-    np.asarray(jax.device_get(loss))
-    jax.profiler.stop_trace()
+    from gnn_bfs_rans_tpu.utils.trace import top_ops, trace_steps
 
-    trace_files = glob.glob(
-        os.path.join(tdir, "**", "*.trace.json.gz"), recursive=True)
-    assert trace_files, f"no trace written under {tdir}"
-    with gzip.open(trace_files[0]) as f:
-        data = json.load(f)
-    ev = data.get("traceEvents", [])
-    pids = {e["pid"]: e["args"].get("name") for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev_pids = {p for p, name in pids.items()
-                if name and ("TPU" in name or "device" in name.lower())}
-    dur = collections.Counter()
-    detail: dict[str, str] = {}
-    total = 0.0
-    for e in ev:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            d = e.get("dur", 0.0)
-            name = e.get("name", "?")
-            # jit_<fn>(...) wrapper events double-count their children
-            if name.startswith("jit_"):
-                continue
-            dur[name] += d
-            total += d
-            eargs = e.get("args") or {}
-            info = eargs.get("long_name") or eargs.get("hlo_op") or ""
-            if info and name not in detail:
-                detail[name] = str(info)[:300]
-    per_step = {k: v / args.steps for k, v in dur.items()}
-    print(f"\ndevice total {total/args.steps/1e3:.2f} ms/step over "
-          f"{args.steps} steps; top ops:", flush=True)
-    top = sorted(per_step.items(), key=lambda kv: -kv[1])[: args.top]
-    for name, us in top:
-        extra = detail.get(name, "")
+    box = {"state": state}
+
+    def launch(i):
+        box["state"], loss = step(box["state"], graph, targets, lr,
+                                  jax.random.fold_in(rng, i))
+        return loss
+
+    res = trace_steps(launch, n_steps=args.steps)
+    summary = top_ops(res, n=args.top)
+    print(f"\ndevice total {summary['device_total_ms_per_step']:.2f} ms/step "
+          f"over {args.steps} steps; top ops:", flush=True)
+    for name, us in summary["top_ops_us_per_step"].items():
+        extra = summary["op_detail"].get(name, "")
         print(f"{us/1e3:9.3f} ms  {name[:60]}  {extra[:140]}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -126,9 +97,7 @@ def main():
             "n_nodes": graph.n_nodes, "n_edges": graph.n_edges,
             "hidden_dim": args.hidden, "num_layers": args.layers,
             "dropout": args.dropout, "steps": args.steps,
-            "device_total_ms_per_step": total / args.steps / 1e3,
-            "top_ops_us_per_step": dict(top),
-            "op_detail": {k: detail.get(k, "") for k, _ in top},
+            **summary,
         }, f, indent=1)
     print("wrote", args.out, flush=True)
 
