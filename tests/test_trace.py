@@ -21,16 +21,28 @@ def trace_dir(tmp_path):
          "args": {"name": "/device:TPU:0"}},
         {"ph": "M", "name": "process_name", "pid": 2,
          "args": {"name": "python host"}},
+        # the device pid exposes several thread lanes; only "XLA Ops" is
+        # the per-op timeline — "Steps"/"XLA Modules" spans cover the same
+        # wall interval and must NOT be double-counted
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 1,
+         "args": {"name": "Steps"}},
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 2,
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 3,
+         "args": {"name": "XLA Ops"}},
         # device ops over 2 steps: fusion.1 (10+12 us), custom-call (30+28)
-        {"ph": "X", "pid": 1, "name": "fusion.1", "dur": 10.0,
+        {"ph": "X", "pid": 1, "tid": 3, "name": "fusion.1", "dur": 10.0,
          "args": {"long_name": "add(mul(...))"}},
-        {"ph": "X", "pid": 1, "name": "fusion.1", "dur": 12.0},
-        {"ph": "X", "pid": 1, "name": "gat_fwd_kernel", "dur": 30.0},
-        {"ph": "X", "pid": 1, "name": "gat_fwd_kernel", "dur": 28.0},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "fusion.1", "dur": 12.0},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "gat_fwd_kernel", "dur": 30.0},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "gat_fwd_kernel", "dur": 28.0},
+        # module/step lanes covering the same interval — must be skipped
+        {"ph": "X", "pid": 1, "tid": 1, "name": "1", "dur": 90.0},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "a_module", "dur": 85.0},
         # jit_ wrapper spans double-count children — must be skipped
-        {"ph": "X", "pid": 1, "name": "jit_forward", "dur": 1000.0},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "jit_forward", "dur": 1000.0},
         # host-lane event — not device time
-        {"ph": "X", "pid": 2, "name": "dispatch", "dur": 500.0},
+        {"ph": "X", "pid": 2, "tid": 9, "name": "dispatch", "dur": 500.0},
     ]
     d = tmp_path / "plugins" / "profile" / "run"
     d.mkdir(parents=True)
@@ -48,6 +60,8 @@ def test_aggregates_device_lane_only(trace_dir):
     }
     assert "jit_forward" not in res["ops_us_per_step"]
     assert "dispatch" not in res["ops_us_per_step"]
+    assert "1" not in res["ops_us_per_step"]         # Steps lane
+    assert "a_module" not in res["ops_us_per_step"]  # XLA Modules lane
     assert res["op_detail"]["fusion.1"] == "add(mul(...))"
 
 
