@@ -44,6 +44,7 @@ def main() -> int:
                 "compute_dtype", "n_edges", "step_median_s", "step_steady_s",
                 "steps_per_sec", "platform", "timing", "timing_detail",
                 "cross_check", "matmul_flops", "mfu", "bound",
+                "bytes_basis", "hbm_bytes_xla", "hbm_bytes_est", "hbm_frac",
                 "roofline_min_s",
             )
         },

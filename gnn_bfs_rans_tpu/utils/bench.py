@@ -299,6 +299,7 @@ def run_benchmark(
 
     steady_s: float | None = None
     launch = None  # single-step dispatcher (steady-state probe + trace)
+    compiled = None  # single-step executable (XLA cost analysis)
     if mode == "forward":
         def apply_fn(g):
             return model.apply(
@@ -308,8 +309,9 @@ def run_benchmark(
 
         timing = chained_marginal_time(apply_fn, graph, reps=max(steps, 64))
 
+        fwd = jax.jit(apply_fn)
+        compiled = fwd.lower(graph).compile()
         if cross_check or trace:
-            fwd = jax.jit(apply_fn)
             _fetch_scalar(fwd(graph))  # compile
             launch = lambda i: fwd(graph)  # noqa: E731
         if cross_check:
@@ -353,6 +355,10 @@ def run_benchmark(
             reps *= 2
         timing = _marginal_from_times(t_base, t_full, base, reps, spread, 5)
 
+        jstep_ca = make_train_step(model, tcfg)
+        compiled = jstep_ca.lower(
+            state, graph, targets, lr, rng, freeze_pressure=False
+        ).compile()
         if cross_check or trace:
             # donation-safe single-step dispatch: thread the state like a
             # real run
@@ -391,12 +397,17 @@ def run_benchmark(
         }
 
     # Roofline: analytic FLOPs vs measured time must respect chip peak.
+    # HBM side grounded in XLA's compiled-graph bytes-accessed when available.
+    bytes_measured = (
+        roofline.xla_bytes_accessed(compiled) if compiled is not None else None
+    )
     roof = roofline.analyze(
         layer_type=layer_type, num_layers=num_layers, hidden_dim=hidden_dim,
         n_nodes=graph.n_nodes, n_edges=graph.n_edges, time_s=step_s,
         mode=mode, heads=mcfg.heads, param_count=n_params,
         graph_bytes=roofline.graph_static_bytes(graph),
         use_edge_attr=mcfg.use_edge_attr,
+        bytes_measured=bytes_measured,
     )
     roofline.check_roofline(roof["matmul_flops"], step_s)
 
@@ -429,6 +440,10 @@ def run_benchmark(
         "matmul_flops": roof["matmul_flops"],
         "mfu": roof["mfu"],
         "bound": roof["bound"],
+        "bytes_basis": roof["bytes_basis"],
+        "hbm_bytes_xla": roof.get("hbm_bytes_xla"),
+        "hbm_bytes_est": roof["hbm_bytes_est"],
+        "hbm_frac": roof.get("hbm_frac"),
         "flops_per_sec": roof["flops_per_sec"],
         "roofline_min_s": roof.get("roofline_min_s"),
     }

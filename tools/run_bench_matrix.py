@@ -31,6 +31,12 @@ CONFIGS = [
     # depth (VERDICT r3 item 3)
     ("Transformer", "pallas", "bfloat16", "forward", 8),
     ("Transformer", "pallas", "bfloat16", "train", 8),
+    # round 5: the mixed-dtype path (bf16 convs/MLP, f32 residual stream) —
+    # the config that is simultaneously the fast and the accurate one
+    ("GAT", "pallas", "mixed", "forward", 4),
+    ("GAT", "pallas", "mixed", "train", 4),
+    ("GAT", "pallas", "mixed", "forward", 6),
+    ("GAT", "pallas", "mixed", "train", 6),
 ]
 
 
