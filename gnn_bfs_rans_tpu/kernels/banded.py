@@ -52,6 +52,19 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Round-5 backward recompute-thinning toggles (see banded_bwd._gat_bwd_kernel;
+# per-op device-trace A/B in artifacts/bwd_variants_ab.json, flagship shape,
+# bf16 + dropout 0.1 + mean_expand).  Only the MXU column-sum offload pays:
+# kernel 253.5 → 223.8 µs.  Reusing forward-saved (m, inv) measured +40 µs
+# (the narrow stats stream + masked lane-extracts cost more than the two
+# plane reductions they remove) and the flash-style delta-rs trick +37 µs
+# (the extra per-head MXU output recompute serializes with the VPU chain
+# instead of overlapping) — both kept as documented negative results.
+BWD_USE_STATS = False   # NEGATIVE: fwd-saved (m, inv) — +40 µs, see above
+BWD_DELTA_RS = False    # NEGATIVE: MXU delta-rs — +37 µs, see above
+BWD_MXU_DAS = True      # dα_src column sums as one MXU contraction: −30 µs
+
+
 def _prec(dtype):
     """Matmul precision by primal dtype: f32 inputs get exact (multi-pass)
     MXU matmuls — f32 is the accuracy/parity path; bf16 keeps the fast
@@ -314,7 +327,8 @@ def _attn_dropout(p, rate: float, inv_keep: float, seed_val, draw: int = 0):
 
 # ---------------------------------------------------------- GAT attention
 def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
-                dropout_rate=0.0, mean_heads=False, fuse_proj=False):
+                dropout_rate=0.0, mean_heads=False, fuse_proj=False,
+                emit_stats=False):
     """Grouped, head-stacked fused GAT step: G receiver tiles per grid step.
 
     Per receiver tile the softmax runs head-stacked — one [H·T, Wcols] chain
@@ -357,6 +371,9 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
     # the projection is fused (z_j computed in VMEM below)
     zs = refs[i0 + 1:i0 + 1 + span]
     o_ref = refs[i0 + 1 + span]                             # [G·T, HC]
+    # per-row softmax stats, packed [G·T, 2H] f32 (m | inv) like the alphas
+    # — saved for the backward's recompute-thinning (see _gat_bwd_kernel)
+    stats_ref = refs[i0 + 2 + span] if emit_stats else None
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
     if fuse_proj:
@@ -406,6 +423,11 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
         # dividing the [H·T, W·T] probability plane (identical math — denom
         # is fixed before dropout, so the mask commutes with the scaling)
         inv = 1.0 / denom                                    # [H·T, 1]
+        if emit_stats:
+            stats_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
+                [m[h * tile:(h + 1) * tile] for h in range(heads)]
+                + [inv[h * tile:(h + 1) * tile] for h in range(heads)],
+                axis=1)
         if dropout_rate > 0:
             sv = seed_ref[0] + pl.program_id(0) * group + g
             _prng_seed(sv)
@@ -456,6 +478,7 @@ def banded_gat_fwd(
     dropout_rate: float = 0.0,
     seed: jax.Array | None = None,   # [1] int32 (required when rate > 0)
     mean_heads: bool = False,
+    emit_stats: bool = False,
 ) -> jax.Array:
     """Fused GAT attention-aggregate over the band.
 
@@ -463,7 +486,9 @@ def banded_gat_fwd(
     reference's ``concat=False`` epilogue, fused — see kernel comment).
     ``alphas`` is packed src|dst: the kernel slices in VMEM, so the caller
     never splits the narrow array in HBM (see the packed-alpha note in
-    ``_gat_kernel``).
+    ``_gat_kernel``).  With ``emit_stats`` returns ``(out, stats)`` where
+    ``stats`` is the packed [N, 2H] f32 per-row softmax (m | inv) the
+    fused backward reuses to skip its plane reductions.
     """
     n_tiles, tile, width = bias_self.shape
     sub = tile // 2
@@ -475,6 +500,7 @@ def banded_gat_fwd(
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
         feat_bytes=hc * z.dtype.itemsize + h2 * alphas.dtype.itemsize,
+        extra_out_bytes_per_tile=(h2 * 4 if emit_stats else 0),
         scratch_bytes_per_tile=(
             2 * heads * tile * width * 4
             if z.dtype == jnp.float32 else 0),
@@ -484,8 +510,18 @@ def banded_gat_fwd(
         _gat_kernel, window=w_sub, heads=heads,
         negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_heads=mean_heads,
+        emit_stats=emit_stats,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
+    out_spec = pl.BlockSpec((group * tile, out_feat), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((z.shape[0], out_feat), z.dtype)
+    if emit_stats:
+        out_spec = (out_spec,
+                    pl.BlockSpec((group * tile, h2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((z.shape[0], h2), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles // group,),
@@ -499,9 +535,8 @@ def banded_gat_fwd(
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
         ],
-        out_specs=pl.BlockSpec((group * tile, out_feat), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((z.shape[0], out_feat), z.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * heads * tile * width * (hc // heads),
             bytes_accessed=bias_self.size * bias_self.dtype.itemsize
@@ -834,18 +869,25 @@ def banded_gat_packed(bias_self, z, alphas, heads, negative_slope=0.2,
 
 def _gat_vjp_fwd(bias_self, z, alphas, heads, negative_slope,
                  dropout_rate, seed):
-    out = banded_gat_fwd(bias_self, z, alphas, heads,
-                         negative_slope, dropout_rate, seed)
-    return out, (bias_self, z, alphas, seed)
+    if BWD_USE_STATS:
+        out, stats = banded_gat_fwd(bias_self, z, alphas, heads,
+                                    negative_slope, dropout_rate, seed,
+                                    emit_stats=True)
+    else:
+        out = banded_gat_fwd(bias_self, z, alphas, heads,
+                             negative_slope, dropout_rate, seed)
+        stats = None
+    return out, (bias_self, z, alphas, seed, stats)
 
 
 def _gat_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd
 
-    bias_self, z, alphas, seed = res
+    bias_self, z, alphas, seed, stats = res
     dz, da = banded_gat_bwd(
         bias_self, z, alphas, g, heads, negative_slope,
         dropout_rate=dropout_rate, seed=seed,
+        stats=stats, delta_rs=BWD_DELTA_RS, mxu_das=BWD_MXU_DAS,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return _zero_cot(bias_self), dz, da, dseed
@@ -881,21 +923,28 @@ def banded_gat_mean_packed(bias_self, z, alphas, heads,
 
 def _gatm_vjp_fwd(bias_self, z, alphas, heads, negative_slope,
                   dropout_rate, seed):
-    out = banded_gat_fwd(bias_self, z, alphas, heads,
-                         negative_slope, dropout_rate, seed, mean_heads=True)
-    return out, (bias_self, z, alphas, seed)
+    if BWD_USE_STATS:
+        out, stats = banded_gat_fwd(bias_self, z, alphas, heads,
+                                    negative_slope, dropout_rate, seed,
+                                    mean_heads=True, emit_stats=True)
+    else:
+        out = banded_gat_fwd(bias_self, z, alphas, heads, negative_slope,
+                             dropout_rate, seed, mean_heads=True)
+        stats = None
+    return out, (bias_self, z, alphas, seed, stats)
 
 
 def _gatm_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd
 
-    bias_self, z, alphas, seed = res
+    bias_self, z, alphas, seed, stats = res
     # the per-head g/H expansion happens inside the backward kernel
     # (mean_expand) — the tiled [N, H·C] cotangent never touches HBM
     dz, da = banded_gat_bwd(
         bias_self, z, alphas, g.astype(z.dtype), heads,
         negative_slope, dropout_rate=dropout_rate, seed=seed,
         mean_expand=True,
+        stats=stats, delta_rs=BWD_DELTA_RS, mxu_das=BWD_MXU_DAS,
     )
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return _zero_cot(bias_self), dz, da, dseed
@@ -914,7 +963,7 @@ def banded_gat_mean(bias_self, z, alpha_src, alpha_dst, heads,
 
 def banded_gat_mean_fused_fwd(bias_self, w, alphas, x, heads,
                               negative_slope=0.2, dropout_rate=0.0,
-                              seed=None):
+                              seed=None, emit_stats=False):
     """``banded_gat_mean`` with the z-projection fused into the kernel.
 
     ``w`` is the GAT linear kernel [F, H·C]; sender blocks project to
@@ -940,6 +989,7 @@ def banded_gat_mean_fused_fwd(bias_self, w, alphas, x, heads,
         feat_bytes=f * x.dtype.itemsize + h2 * alphas.dtype.itemsize,
         # per-grid-step projected z blocks live in VMEM: span × [sub, HC]
         extra_in_bytes_per_tile=2 * hc * x.dtype.itemsize + 2 * f * 2,
+        extra_out_bytes_per_tile=(h2 * 4 if emit_stats else 0),
         scratch_bytes_per_tile=(
             2 * heads * tile * width * 4 + width * hc * 4
             if x.dtype == jnp.float32 else 0),
@@ -949,8 +999,18 @@ def banded_gat_mean_fused_fwd(bias_self, w, alphas, x, heads,
         _gat_kernel, window=w_sub, heads=heads,
         negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_heads=True, fuse_proj=True,
+        emit_stats=emit_stats,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
+    out_spec = pl.BlockSpec((group * tile, hc // heads), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((x.shape[0], hc // heads), x.dtype)
+    if emit_stats:
+        out_spec = (out_spec,
+                    pl.BlockSpec((group * tile, h2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((x.shape[0], h2), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles // group,),
@@ -965,9 +1025,8 @@ def banded_gat_mean_fused_fwd(bias_self, w, alphas, x, heads,
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(w_sub, tile, f, n_tiles, group, sub),
         ],
-        out_specs=pl.BlockSpec((group * tile, hc // heads), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], hc // heads), x.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * (width * (hc // heads) * heads
                                         + 2 * f * hc),
@@ -1000,16 +1059,24 @@ def banded_gat_mean_fused(bias_self, w, alphas, x, heads,
 
 def _gatmf_vjp_fwd(bias_self, w, alphas, x, heads,
                    negative_slope, dropout_rate, seed):
-    out = banded_gat_mean_fused_fwd(
-        bias_self, w, alphas, x, heads, negative_slope, dropout_rate, seed,
-    )
-    return out, (bias_self, w, alphas, x, seed)
+    if BWD_USE_STATS:
+        out, stats = banded_gat_mean_fused_fwd(
+            bias_self, w, alphas, x, heads, negative_slope, dropout_rate,
+            seed, emit_stats=True,
+        )
+    else:
+        out = banded_gat_mean_fused_fwd(
+            bias_self, w, alphas, x, heads, negative_slope, dropout_rate,
+            seed,
+        )
+        stats = None
+    return out, (bias_self, w, alphas, x, seed, stats)
 
 
 def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd
 
-    bias_self, w, alphas, x, seed = res
+    bias_self, w, alphas, x, seed, stats = res
     # re-project exactly as the in-kernel projection does (f32 accumulate →
     # primal dtype) so the attention recompute in the backward kernel sees
     # bit-identical z
@@ -1018,6 +1085,7 @@ def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
         bias_self, z, alphas, g.astype(z.dtype), heads,
         negative_slope, dropout_rate=dropout_rate, seed=seed,
         mean_expand=True,
+        stats=stats, delta_rs=BWD_DELTA_RS, mxu_das=BWD_MXU_DAS,
     )
     dx = jnp.dot(dz, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
     dw = jnp.dot(x.T, dz, preferred_element_type=jnp.float32).astype(w.dtype)

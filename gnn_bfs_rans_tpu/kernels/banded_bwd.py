@@ -166,13 +166,30 @@ def combine_partials(part: jax.Array, tile: int) -> jax.Array:
 
 # ------------------------------------------------------------ GAT backward
 def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
-                    dropout_rate=0.0, mean_expand=False):
+                    dropout_rate=0.0, mean_expand=False, use_stats=False,
+                    delta_rs=False, mxu_das=False, dz_dg=False):
     """Grouped + head-stacked, mirroring ``banded._gat_kernel`` — the
     softmax recompute runs as wide [H·T, Wcols] VPU ops over the half-tile
     window (see the forward kernel) and, when dropout is on, the
     per-receiver-tile re-seeded ``prng_random_bits`` call replays the
     forward's PRNG stream bit-exactly regardless of either side's group
-    size."""
+    size.
+
+    Recompute-thinning variants (round 5, each A/B'd on device):
+
+    * ``use_stats`` — the forward saved the per-row softmax stats
+      ([G·T, 2H] f32, packed m|inv like the alphas): skip the max and
+      sum reductions over the [H·T, Wcols] plane; ``e = exp(full − m)``
+      is bit-identical to the forward's (same m).
+    * ``delta_rs`` — flash-attention delta trick: the softmax-VJP row
+      term rs = Σ_j p̃·dp is ``rowsum(gout ⊙ out)`` where out is the
+      forward's (per-head) output; recomputing out = (e_d@zcat)·inv is
+      one MXU matmul + a narrow [T, C] reduce instead of a full-plane
+      VPU multiply+lane-reduce.
+    * ``mxu_das`` — the per-window dα_src column sums become ONE
+      selector matmul [H, H·T] @ dpre on the MXU instead of H·W
+      cross-sublane reductions.
+    """
     i = 0
     if dropout_rate > 0:
         seed_ref = refs[i]; i += 1
@@ -182,6 +199,9 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
     span = group * r + window - r
     aps = refs[i:i + span]; i += span            # span × [sub, 2H] packed
     apd_ref = refs[i]; i += 1                    # [G·T, 2H] packed (direct)
+    stats_ref = None
+    if use_stats:
+        stats_ref = refs[i]; i += 1              # [G·T, 2H] f32 (m | inv)
     zs = refs[i:i + span]; i += span             # span × [sub, HC]
     g_ref = refs[i]; i += 1                      # [G·T, HC]
     dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
@@ -214,13 +234,32 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
         )                                                    # [H·T, WT]
         full = jnp.where(pre >= 0, pre, negative_slope * pre)
         full = full + jnp.concatenate([bias_cat] * heads, axis=0)
-        m = jnp.max(full, axis=1, keepdims=True)
-        e = jnp.exp(full - m)
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        # normalization deferred (see banded._gat_kernel): p = e·inv is never
-        # materialized — inv row-scales the narrow [T, C] gout for the dz
-        # matmuls and folds into the softmax-VJP algebra as broadcast mults
-        inv = 1.0 / denom                                    # [H·T, 1]
+        if use_stats:
+            # forward-saved stats: exp(full − m) is bit-identical to the
+            # forward's e (same m), masked entries underflow to exactly 0.
+            # Columns are extracted via masked lane-reduces so every concat
+            # operand sits at lane offset 0 (Mosaic rejects concatenation of
+            # narrow vectors with mismatched lane offsets).
+            st = stats_ref[g * tile:(g + 1) * tile].astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+
+            def _col(j):
+                return jnp.sum(jnp.where(lane == j, st, 0.0),
+                               axis=1, keepdims=True)
+
+            m = jnp.concatenate([_col(h) for h in range(heads)], axis=0)
+            inv = jnp.concatenate(
+                [_col(heads + h) for h in range(heads)], axis=0)
+            e = jnp.exp(full - m)
+        else:
+            m = jnp.max(full, axis=1, keepdims=True)
+            e = jnp.exp(full - m)
+            denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+            # normalization deferred (see banded._gat_kernel): p = e·inv is
+            # never materialized — inv row-scales the narrow [T, C] gout for
+            # the dz matmuls and folds into the softmax-VJP algebra as
+            # broadcast mults
+            inv = 1.0 / denom                                # [H·T, 1]
         if mean_expand:
             # cotangent of the head-MEAN output: every head receives g/H.
             # Expanding here (one [T, C] VMEM read shared by all heads)
@@ -248,27 +287,73 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
             dp = jnp.where(keep, dp * inv_keep, 0.0)  # dpd → dp through mask
         else:
             e_d = e
-        rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
+        if delta_rs:
+            # rs = Σ_j p̃·dp == rowsum(gout ⊙ out): recompute the per-head
+            # output with ONE MXU matmul + a narrow [T, C] reduce instead of
+            # the full-plane VPU multiply+lane-reduce (identical math —
+            # Σ_j e_d·dp·inv = gout·(e_d@zcat)·inv, dropout masks included)
+            rs = jnp.concatenate([
+                jnp.sum(
+                    gout[h] * jnp.dot(
+                        _mm_cast(e_d[h * tile:(h + 1) * tile], dt),
+                        zcat[:, h * c:(h + 1) * c],
+                        preferred_element_type=jnp.float32, precision=prec)
+                    * inv[h * tile:(h + 1) * tile],
+                    axis=1, keepdims=True)
+                for h in range(heads)
+            ], axis=0)                                       # [H·T, 1]
+        else:
+            rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
         dl = e * ((dp - rs) * inv)                           # softmax VJP
         dpre = dl * jnp.where(pre >= 0, 1.0, negative_slope)  # [H·T, WT]
         dad_cols = []
         das_blocks = [[] for _ in range(window)]  # [k][h] → [sub, 1]
         dz_blocks = [[] for _ in range(window)]   # [k] → [sub, C] per head
+        if mxu_das:
+            # all H·W column sums as ONE MXU contraction over the plane's
+            # row dim: out[w, h] = Σ_j dpre[j, w]·sel[j, h] with
+            # sel[j, h] = 1 iff row j belongs to head h — lands [Wcols, H]
+            # so the per-window das blocks are plain sublane slices
+            sel = (jax.lax.broadcasted_iota(
+                jnp.int32, (heads * tile, heads), 0) // tile
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (heads * tile, heads), 1))
+            colsum_t = jax.lax.dot_general(
+                _mm_cast(dpre, dt), _mm_cast(sel.astype(jnp.float32), dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                                # [Wcols, H]
         for h in range(heads):
             rows = slice(h * tile, (h + 1) * tile)
             dad_cols.append(jnp.sum(dpre[rows], axis=1, keepdims=True))
             for k in range(window):
                 cols = slice(k * sub, (k + 1) * sub)
-                das_blocks[k].append(
-                    jnp.sum(dpre[rows, cols], axis=0)[:, None])
-                dz_blocks[k].append(jnp.dot(
-                    _mm_cast(e_d[rows, cols], dt).T, _mm_cast(gout_s[h], dt),
-                    preferred_element_type=jnp.float32, precision=prec))
+                if not mxu_das:
+                    das_blocks[k].append(
+                        jnp.sum(dpre[rows, cols], axis=0)[:, None])
+                if dz_dg:
+                    # dim-0 contraction: the MXU consumes the e_d block
+                    # without a materialized vreg transpose
+                    dz_blocks[k].append(jax.lax.dot_general(
+                        _mm_cast(e_d[rows, cols], dt),
+                        _mm_cast(gout_s[h], dt),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec))
+                else:
+                    dz_blocks[k].append(jnp.dot(
+                        _mm_cast(e_d[rows, cols], dt).T,
+                        _mm_cast(gout_s[h], dt),
+                        preferred_element_type=jnp.float32, precision=prec))
         dad_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
             dad_cols, axis=1).astype(dad_ref.dtype)
-        das_ref[g] = jnp.stack(
-            [jnp.concatenate(bs, axis=1) for bs in das_blocks], axis=0
-        ).astype(das_ref.dtype)
+        if mxu_das:
+            das_ref[g] = jnp.stack(
+                [colsum_t[k * sub:(k + 1) * sub] for k in range(window)],
+                axis=0).astype(das_ref.dtype)
+        else:
+            das_ref[g] = jnp.stack(
+                [jnp.concatenate(bs, axis=1) for bs in das_blocks], axis=0
+            ).astype(das_ref.dtype)
         dz_ref[g] = jnp.stack(
             [jnp.concatenate(bs, axis=1) for bs in dz_blocks], axis=0
         ).astype(dz_ref.dtype)
@@ -276,14 +361,19 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
 
 def banded_gat_bwd(bias_self, z, alphas, g, heads,
                    negative_slope=0.2, dropout_rate=0.0, seed=None,
-                   mean_expand=False):
+                   mean_expand=False, stats=None, delta_rs=False,
+                   mxu_das=False, dz_dg=False):
     """Fused backward of ``banded_gat_fwd`` → (dz, dalphas).
 
     ``alphas`` is PACKED [N, 2H] (src|dst), sliced in VMEM like the forward
     — no narrow [N, H] arrays in HBM; ``dalphas`` returns packed the same
     way.  With ``mean_expand`` the cotangent ``g`` is that of the head-MEAN
     output ([N, C]); the per-head expansion g/H happens in VMEM instead of
-    materializing the tiled [N, H·C] cotangent in HBM.
+    materializing the tiled [N, H·C] cotangent in HBM.  ``stats`` is the
+    forward-saved [N, 2H] f32 softmax stats array (m|inv packed) — when
+    given, the backward skips the plane max/sum recompute (see
+    ``_gat_bwd_kernel``); ``delta_rs``/``mxu_das`` select the MXU-offload
+    variants of the softmax-VJP row term and the dα_src column sums.
     """
     from .banded import _choose_group, _clamped_window_specs, _seed_inputs
 
@@ -295,6 +385,7 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
     h = heads
     n = z.shape[0]
     g_feat = hc // heads if mean_expand else hc
+    use_stats = stats is not None
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
         feat_bytes=(hc + 2 * h) * z.dtype.itemsize + hc * 4,
@@ -302,6 +393,7 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         # output side
         extra_out_bytes_per_tile=(width // tile) * (
             hc * z.dtype.itemsize + h * 4),
+        extra_in_bytes_per_tile=(2 * h * 4 if use_stats else 0),
         scratch_bytes_per_tile=(
             3 * heads * tile * width * 4
             if z.dtype == jnp.float32 else 0),
@@ -311,8 +403,14 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         _gat_bwd_kernel, window=w_sub, heads=heads,
         negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_expand=mean_expand,
+        use_stats=use_stats, delta_rs=delta_rs, mxu_das=mxu_das, dz_dg=dz_dg,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
+    stats_in, stats_specs = [], []
+    if use_stats:
+        stats_in = [stats]
+        stats_specs = [pl.BlockSpec((group * tile, 2 * h), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)]
     dad, das_part, dz_part = pl.pallas_call(
         kernel,
         grid=(n_tiles // group,),
@@ -323,6 +421,7 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
             *_clamped_window_specs(w_sub, tile, 2 * h, n_tiles, group, sub),
             pl.BlockSpec((group * tile, 2 * h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            *stats_specs,
             *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
             pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -352,7 +451,8 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
             transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_self, *([alphas] * span), alphas, *([z] * span), g)
+    )(*seed_in, bias_self, *([alphas] * span), alphas, *stats_in,
+      *([z] * span), g)
     dz = (fold_partials(dz_part, tile, out_dtype=z.dtype)
           if dz_part.shape[-1] >= 128
           else combine_partials(dz_part, tile).astype(z.dtype))
