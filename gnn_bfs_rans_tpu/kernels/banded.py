@@ -63,6 +63,7 @@ def _use_interpret() -> bool:
 BWD_USE_STATS = False   # NEGATIVE: fwd-saved (m, inv) — +40 µs, see above
 BWD_DELTA_RS = False    # NEGATIVE: MXU delta-rs — +37 µs, see above
 BWD_MXU_DAS = True      # dα_src column sums as one MXU contraction: −30 µs
+BWD_FOLD_PROJECT = True  # fuse dz fold + projection backward (fuse_train)
 
 
 def _prec(dtype):
@@ -1074,21 +1075,33 @@ def _gatmf_vjp_fwd(bias_self, w, alphas, x, heads,
 
 
 def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
-    from .banded_bwd import banded_gat_bwd
+    from .banded_bwd import banded_gat_bwd, fold_project_bwd
 
     bias_self, w, alphas, x, seed, stats = res
     # re-project exactly as the in-kernel projection does (f32 accumulate →
     # primal dtype) so the attention recompute in the backward kernel sees
     # bit-identical z
     z = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(w.dtype)
+    tile = bias_self.shape[1]
+    fuse_fold = BWD_FOLD_PROJECT and w.shape[1] >= 128
     dz, da = banded_gat_bwd(
         bias_self, z, alphas, g.astype(z.dtype), heads,
         negative_slope, dropout_rate=dropout_rate, seed=seed,
         mean_expand=True,
         stats=stats, delta_rs=BWD_DELTA_RS, mxu_das=BWD_MXU_DAS,
+        raw_dz_partials=fuse_fold,
     )
-    dx = jnp.dot(dz, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
-    dw = jnp.dot(x.T, dz, preferred_element_type=jnp.float32).astype(w.dtype)
+    if fuse_fold:
+        # dz window partials fold in VMEM and feed dx/dW directly — the
+        # [N, H·C] dz array never exists in HBM (see fold_project_bwd)
+        dx, dw = fold_project_bwd(dz, x, w, tile)
+        dx = dx.astype(x.dtype)
+        dw = dw.astype(w.dtype)
+    else:
+        dx = jnp.dot(dz, w.T,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+        dw = jnp.dot(x.T, dz,
+                     preferred_element_type=jnp.float32).astype(w.dtype)
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return _zero_cot(bias_self), dw, da, dx, dseed
 
@@ -1316,6 +1329,96 @@ def _trgm_vjp_bwd(heads, dropout_rate, res, g):
 
 
 banded_transformer_geo_mean.defvjp(_trgm_vjp_fwd, _trgm_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def banded_transformer_geo_mean_projgrad(
+    bias_noself, geo_band, pos, x,
+    wq, wk, wv,       # [F, HC]
+    bq, bk, bv,       # [HC]
+    wblk,             # [HC, H·4] block-diagonal qw projection
+    heads, dropout_rate=0.0, seed=None,
+):
+    """Geo-mean transformer with the q/k/v projections INSIDE the vjp
+    boundary → (out [N, C], s [N, H·4]).
+
+    Forward is identical to the unfused path (XLA projections + the
+    unfused kernel — in-kernel projection is a pinned negative,
+    artifacts/tr_fuse_ab.json); the point is the BACKWARD: dk/dv leave the
+    attention kernel as raw window partials and
+    :func:`banded_bwd.fold_project_bwd` folds them straight into
+    dWk/dWv/dbk/dbv/dx in VMEM — the [N, H·C] dk/dv arrays never exist in
+    HBM (round-5; same trick as the GAT fuse_train fold).
+    """
+    q = (jnp.dot(x, wq, preferred_element_type=jnp.float32)
+         + bq).astype(x.dtype)
+    k = (jnp.dot(x, wk, preferred_element_type=jnp.float32)
+         + bk).astype(x.dtype)
+    v = (jnp.dot(x, wv, preferred_element_type=jnp.float32)
+         + bv).astype(x.dtype)
+    qw = jnp.dot(q, wblk,
+                 preferred_element_type=jnp.float32).astype(q.dtype)
+    return banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                  qw=qw, geo_band=geo_band, pos=pos,
+                                  dropout_rate=dropout_rate, seed=seed,
+                                  mean_heads=True)
+
+
+def _trgmp_vjp_fwd(bias_noself, geo_band, pos, x, wq, wk, wv, bq, bk, bv,
+                   wblk, heads, dropout_rate, seed):
+    q = (jnp.dot(x, wq, preferred_element_type=jnp.float32)
+         + bq).astype(x.dtype)
+    k = (jnp.dot(x, wk, preferred_element_type=jnp.float32)
+         + bk).astype(x.dtype)
+    v = (jnp.dot(x, wv, preferred_element_type=jnp.float32)
+         + bv).astype(x.dtype)
+    qw = jnp.dot(q, wblk,
+                 preferred_element_type=jnp.float32).astype(q.dtype)
+    out = banded_transformer_fwd(bias_noself, q, k, v, heads,
+                                 qw=qw, geo_band=geo_band, pos=pos,
+                                 dropout_rate=dropout_rate, seed=seed,
+                                 mean_heads=True)
+    return out, (bias_noself, geo_band, pos, x, q, k, v, qw, seed,
+                 wq, wk, wv, bq, bk, bv, wblk)
+
+
+def _trgmp_vjp_bwd(heads, dropout_rate, res, g):
+    from .banded_bwd import banded_transformer_bwd, fold_project_bwd
+
+    (bias_noself, geo_band, pos, x, q, k, v, qw, seed,
+     wq, wk, wv, bq, bk, bv, wblk) = res
+    g_out, g_s = g
+    tile = bias_noself.shape[1]
+    dq, dk_part, dv_part, dqw = banded_transformer_bwd(
+        bias_noself, q, k, v, g_out.astype(q.dtype), heads,
+        qw=qw, gs=g_s, geo_band=geo_band, pos=pos,
+        dropout_rate=dropout_rate, seed=seed, mean_expand=True,
+        raw_kv_partials=True,
+    )
+    # q collects cotangents from the kernel and from qw = q @ wblk — summed
+    # in the primal dtype, matching the unfused path's autodiff accumulation
+    dq_full = dq + jnp.dot(
+        dqw.astype(q.dtype), wblk.T,
+        preferred_element_type=jnp.float32).astype(q.dtype)
+    dwblk = jnp.dot(q.T, dqw.astype(q.dtype),
+                    preferred_element_type=jnp.float32).astype(wblk.dtype)
+    dbq = jnp.sum(dq_full.astype(jnp.float32), axis=0).astype(bq.dtype)
+    dwq = jnp.dot(x.T, dq_full,
+                  preferred_element_type=jnp.float32).astype(wq.dtype)
+    dx = jnp.dot(dq_full, wq.T,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    # dk/dv fold + projection backward fused: dk/dv never hit HBM
+    dx_k, dwk, dbk = fold_project_bwd(dk_part, x, wk, tile, with_bias=True)
+    dx_v, dwv, dbv = fold_project_bwd(dv_part, x, wv, tile, with_bias=True)
+    dx = dx + dx_k.astype(x.dtype) + dx_v.astype(x.dtype)
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return (_zero_cot(bias_noself), jnp.zeros_like(geo_band),
+            jnp.zeros_like(pos), dx, dwq, dwk.astype(wk.dtype),
+            dwv.astype(wv.dtype), dbq, dbk.astype(bk.dtype),
+            dbv.astype(bv.dtype), dwblk, dseed)
+
+
+banded_transformer_geo_mean_projgrad.defvjp(_trgmp_vjp_fwd, _trgmp_vjp_bwd)
 
 
 def banded_transformer_geo_mean_fused(

@@ -123,6 +123,155 @@ def fold_partials(part: jax.Array, tile: int, out_dtype=None) -> jax.Array:
     return out
 
 
+def _fold_project_kernel(n_tiles, w_sub, sub, r, k0, smax, span, group,
+                         with_bias, *refs):
+    """Fold window partials → dz tile in VMEM, then immediately apply the
+    projection backward: dx = dz @ Wᵀ per tile and dW = Σ_t x_tᵀ @ dz_t
+    accumulated across grid steps — dz never exists in HBM (round-5: the
+    [N, HC] dz round trip plus the two XLA matmuls that re-read it were
+    ~134 µs/layer on the flagship train step; this kernel's traffic is the
+    partials + x + dx ≈ 40% of that)."""
+    from .banded import _prec
+
+    n_slots = group + span - 1
+    part_refs = refs[:n_slots]
+    x_ref = refs[n_slots]          # [G·T, F]
+    w_ref = refs[n_slots + 1]      # [F, HC]
+    dx_ref = refs[n_slots + 2]     # [G·T, F]
+    dw_ref = refs[n_slots + 3]     # [F, HC] f32, same block every step
+    db_ref = refs[n_slots + 4] if with_bias else None  # [8, HC] f32
+    i = pl.program_id(0)
+    feat = part_refs[0].shape[3]
+    dt = w_ref.dtype
+    prec = _prec(dt)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        if with_bias:
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+    tile = r * sub
+    for g in range(group):
+        t = i * group + g
+        rows = []
+        for m in range(r):
+            acc = None
+            for k in range(w_sub):
+                if (k - k0) % r != m:
+                    continue
+                sft = (k - k0) // r
+                slot = g + smax - sft
+                valid = jnp.logical_and(t - sft >= 0, t - sft < n_tiles)
+                blk = jnp.where(
+                    valid, part_refs[slot][0, k].astype(jnp.float32), 0.0)
+                acc = blk if acc is None else acc + blk
+            rows.append(acc if acc is not None
+                        else jnp.zeros((sub, feat), jnp.float32))
+        # identical rounding to fold_partials(out_dtype=primal): f32
+        # accumulate, cast to the primal dtype, then the two matmuls
+        dz_t = jnp.concatenate(rows, axis=0).astype(dt)      # [T, HC]
+        x_t = x_ref[g * tile:(g + 1) * tile]
+        dx_ref[g * tile:(g + 1) * tile] = jax.lax.dot_general(
+            dz_t, w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dx_ref.dtype)
+        dw_ref[...] += jax.lax.dot_general(
+            x_t, dz_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if with_bias:
+            # bias grad = column sums of dz — MXU ones-contraction (cheap)
+            # against an [8, T] ones block so the accumulator stays a full
+            # sublane tile
+            ones = jnp.ones((8, tile), dt)
+            db_ref[...] += jnp.dot(
+                ones, dz_t, preferred_element_type=jnp.float32,
+                precision=prec)  # every row = colsum; caller reads row 0
+
+
+def fold_project_bwd(part: jax.Array, x: jax.Array, w: jax.Array,
+                     tile: int, with_bias: bool = False):
+    """(dx, dw[, db]) of a fused projection z = x @ w (+ b) from dz window
+    partials.
+
+    Fuses :func:`fold_partials` with the projection backward (dx = dz·Wᵀ,
+    dW = xᵀ·dz, db = colsum(dz)): the folded dz tile stays in VMEM and
+    feeds the MXU contractions directly; dW/db accumulate in VMEM-resident
+    f32 blocks across the (sequential) grid.  Numerics match the unfused
+    path: f32 fold accumulation cast to the primal dtype, f32 matmul
+    accumulation (HIGHEST precision on f32 primals), per-tile partial sums.
+    """
+    from .banded import _use_interpret
+
+    n_tiles, w_sub, sub, feat = part.shape
+    f = x.shape[1]
+    r = tile // sub
+    k0 = (w_sub - r) // 2
+    shifts = sorted({(k - k0) // r for k in range(w_sub)})
+    smin, smax = shifts[0], shifts[-1]
+    span = smax - smin + 1
+    # group: slot blocks + x/dx tiles + resident dW accumulator (+W), double
+    # buffered for the streamed operands
+    group = 1
+    for gcand in (2, 4, 8, 16):
+        if n_tiles % gcand:
+            continue
+        vmem = (2 * ((gcand + span - 1) * w_sub * sub * feat
+                     * part.dtype.itemsize
+                     + gcand * tile * (f * x.dtype.itemsize
+                                       + f * x.dtype.itemsize))
+                + f * feat * (4 + w.dtype.itemsize))
+        if vmem <= 10 * 2 ** 20:
+            group = gcand
+    kernel = functools.partial(
+        _fold_project_kernel, n_tiles, w_sub, sub, r, k0, smax, span, group,
+        with_bias)
+
+    def slot_map(j):
+        return lambda i, j=j: (
+            jnp.clip(i * group - smax + j, 0, n_tiles - 1), 0, 0, 0)
+
+    n_slots = group + span - 1
+    out_specs = [
+        pl.BlockSpec((group * tile, f), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, feat), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * tile, f), x.dtype),
+        jax.ShapeDtypeStruct((f, feat), jnp.float32),
+    ]
+    if with_bias:
+        out_specs.append(pl.BlockSpec((8, feat), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8, feat), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // group,),
+        in_specs=[
+            *[pl.BlockSpec((1, w_sub, sub, feat), slot_map(j))
+              for j in range(n_slots)],
+            pl.BlockSpec((group * tile, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, feat), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_tiles * tile * f * feat,
+            bytes_accessed=part.size * part.dtype.itemsize
+            + 2 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(*([part] * n_slots), x, w)
+    if with_bias:
+        return outs[0], outs[1], outs[2][0]
+    return outs[0], outs[1]
+
+
 def combine_partials(part: jax.Array, tile: int) -> jax.Array:
     """[n_tiles, W_sub, sub, F] per-(receiver-tile, window-block) partials
     → [N, F].
@@ -362,7 +511,7 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
 def banded_gat_bwd(bias_self, z, alphas, g, heads,
                    negative_slope=0.2, dropout_rate=0.0, seed=None,
                    mean_expand=False, stats=None, delta_rs=False,
-                   mxu_das=False, dz_dg=False):
+                   mxu_das=False, dz_dg=False, raw_dz_partials=False):
     """Fused backward of ``banded_gat_fwd`` → (dz, dalphas).
 
     ``alphas`` is PACKED [N, 2H] (src|dst), sliced in VMEM like the forward
@@ -453,12 +602,17 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         interpret=_use_interpret(),
     )(*seed_in, bias_self, *([alphas] * span), alphas, *stats_in,
       *([z] * span), g)
+    das = combine_partials(das_part, tile)
+    # packed dα (src|dst) — one concat of two already-f32 streams
+    da = jnp.concatenate([das, dad], axis=1).astype(alphas.dtype)
+    if raw_dz_partials:
+        # caller folds (e.g. fold_project_bwd fuses the fold with the
+        # projection backward so dz never exists in HBM)
+        return dz_part, da
     dz = (fold_partials(dz_part, tile, out_dtype=z.dtype)
           if dz_part.shape[-1] >= 128
           else combine_partials(dz_part, tile).astype(z.dtype))
-    das = combine_partials(das_part, tile)
-    # packed dα (src|dst) — one concat of two already-f32 streams
-    return dz, jnp.concatenate([das, dad], axis=1).astype(alphas.dtype)
+    return dz, da
 
 
 # ---------------------------------------------------- Transformer backward
@@ -629,6 +783,7 @@ def banded_transformer_bwd(
     dropout_rate=0.0, seed=None,
     mean_expand=False,
     geo_band=None, pos=None,
+    raw_kv_partials=False,
 ):
     """Fused backward of the (optionally edge-conditioned) transformer forward.
 
@@ -710,7 +865,10 @@ def banded_transformer_bwd(
         _part_spec(w_sub, sub, hc, group),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n, hc), jnp.float32),
+        # dq in the primal dtype: every consumer casts it there anyway, and
+        # the f32 write+read was the largest stream of the projgrad backward
+        # (f32[12288,1024] = 50 MB at the flagship shape)
+        jax.ShapeDtypeStruct((n, hc), q.dtype),
         # dk/dv partials in the primal dtype (see banded_gat_bwd)
         jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), k.dtype),
         jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), v.dtype),
@@ -749,6 +907,12 @@ def banded_transformer_bwd(
     )(*seed_in, bias_noself, q, *([k] * span), *([v] * span), *extra,
       g, *gs_in)
     dq = outs[0].astype(q.dtype)
+    if raw_kv_partials:
+        # caller folds (fold_project_bwd fuses the fold with the k/v
+        # projection backward so dk/dv never exist in HBM)
+        if edge_dim:
+            return dq, outs[1], outs[2], outs[3].astype(qw.dtype)
+        return dq, outs[1], outs[2]
     dk = (fold_partials(outs[1], tile, out_dtype=k.dtype)
           if outs[1].shape[-1] >= 128
           else combine_partials(outs[1], tile).astype(k.dtype))

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..graph.structs import Graph
+from ..kernels import banded as _banded
 from ..ops import dense as dops
 from ..ops import segment as sops
 
@@ -468,6 +469,37 @@ class TransformerConv(nn.Module):
                         graph.band.bias_noself, graph.band.geo,
                         graph.band.pos, x,
                         ws[0], ws[1], ws[2], bs[0], bs[1], bs[2], wblk, H,
+                    )
+                elif not self.concat and _banded.BWD_FOLD_PROJECT:
+                    # geo head-mean path with the projections inside the
+                    # vjp boundary: forward identical to the unfused path,
+                    # backward folds the dk/dv window partials straight
+                    # into dWk/dWv/db/dx in VMEM (fold_project_bwd) — the
+                    # [N, H·C] dk/dv arrays never exist in HBM.  The q/k/v
+                    # computed above share the same Dense params and are
+                    # DCE'd by XLA (cf. the fuse_eval branch).
+                    from ..kernels.banded import (
+                        banded_transformer_geo_mean_projgrad,
+                    )
+
+                    eye_f = jnp.eye(x.shape[1], dtype=x.dtype)
+                    zero_f = jnp.zeros((1, x.shape[1]), x.dtype)
+                    ws, bs = [], []
+                    for lin_m in (lin_q, lin_k, lin_v):
+                        b_row = lin_m(zero_f)
+                        ws.append(lin_m(eye_f) - b_row)
+                        bs.append(b_row.reshape(-1))
+                    # materialize the extracted W matrices: without the
+                    # barrier XLA fuses the eye-matmul extraction into the
+                    # q/k/v projection consumers and recomputes W per
+                    # output tile (measured 3×116 µs vs 3×35 µs)
+                    ws = jax.lax.optimization_barrier(ws)
+                    bs = jax.lax.optimization_barrier(bs)
+                    out, s = banded_transformer_geo_mean_projgrad(
+                        graph.band.bias_noself, graph.band.geo,
+                        graph.band.pos, x,
+                        ws[0], ws[1], ws[2], bs[0], bs[1], bs[2],
+                        w_blk.astype(x.dtype), H, rate, seed,
                     )
                 else:
                     # factorized geometric path: 2 banded planes + positions
