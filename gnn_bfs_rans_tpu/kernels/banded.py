@@ -64,6 +64,16 @@ BWD_USE_STATS = False   # NEGATIVE: fwd-saved (m, inv) — +40 µs, see above
 BWD_DELTA_RS = False    # NEGATIVE: MXU delta-rs — +37 µs, see above
 BWD_MXU_DAS = True      # dα_src column sums as one MXU contraction: −30 µs
 BWD_FOLD_PROJECT = True  # fuse dz fold + projection backward (fuse_train)
+TR_BWD_STACKED = True   # head-stacked transformer backward (geo/plain)
+# carry-based direct-dz emission + in-kernel projection: the attention
+# backward finalizes each sender sub-block one grid step late (small VMEM
+# carry) and applies dx = dz·Wᵀ / dW += xᵀ·dz in VMEM — neither the window
+# partials nor dz ever exist in HBM (supersedes BWD_FOLD_PROJECT when on).
+# Pays only in the HBM-bound regime: at the 12k-cell flagship the combined
+# kernel is latency-bound and measured +0.1 ms vs separate kernels, so the
+# path engages above a size threshold (partials ≈ 2× dz of HBM round trip).
+BWD_INKERNEL_PROJECT = True
+INKERNEL_PROJECT_MIN_BYTES = 64 * 2 ** 20   # dz bytes; 1M-cell ≈ 1 GB ≫
 
 
 def _prec(dtype):
@@ -1083,6 +1093,21 @@ def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     # bit-identical z
     z = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(w.dtype)
     tile = bias_self.shape[1]
+    if (BWD_INKERNEL_PROJECT and w.shape[1] >= 128
+            and z.size * z.dtype.itemsize >= INKERNEL_PROJECT_MIN_BYTES):
+        # carry-based direct-dz + in-kernel projection: dz is finalized and
+        # projected inside the backward kernel (see banded_gat_bwd)
+        dx, dw, da = banded_gat_bwd(
+            bias_self, z, alphas, g.astype(z.dtype), heads,
+            negative_slope, dropout_rate=dropout_rate, seed=seed,
+            mean_expand=True,
+            stats=stats, delta_rs=BWD_DELTA_RS, mxu_das=BWD_MXU_DAS,
+            project_x=x, project_w=w,
+        )
+        dseed = (None if seed is None
+                 else np.zeros(seed.shape, jax.dtypes.float0))
+        return (_zero_cot(bias_self), dw.astype(w.dtype), da,
+                dx.astype(x.dtype), dseed)
     fuse_fold = BWD_FOLD_PROJECT and w.shape[1] >= 128
     dz, da = banded_gat_bwd(
         bias_self, z, alphas, g.astype(z.dtype), heads,

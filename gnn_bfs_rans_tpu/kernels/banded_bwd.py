@@ -36,6 +36,16 @@ def _part_spec(window: int, sub: int, feat: int, group: int = 1):
                         memory_space=pltpu.VMEM)
 
 
+def _part_spec_clamped(window: int, sub: int, feat: int, group: int,
+                       n_real: int):
+    """Partials spec whose extra (flush) grid step revisits the last block
+    without writing it (see the direct-dz project mode)."""
+    return pl.BlockSpec(
+        (group, window, sub, feat),
+        lambda i: (jnp.minimum(i, n_real - 1), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
 def _fold_kernel(n_tiles, w_sub, sub, r, k0, smax, span, group,
                  *refs):
     """Shifted-slice fold of G receiver tiles per grid step.
@@ -316,7 +326,8 @@ def combine_partials(part: jax.Array, tile: int) -> jax.Array:
 # ------------------------------------------------------------ GAT backward
 def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
                     dropout_rate=0.0, mean_expand=False, use_stats=False,
-                    delta_rs=False, mxu_das=False, dz_dg=False):
+                    delta_rs=False, mxu_das=False, dz_dg=False,
+                    project=False):
     """Grouped + head-stacked, mirroring ``banded._gat_kernel`` — the
     softmax recompute runs as wide [H·T, Wcols] VPU ops over the half-tile
     window (see the forward kernel) and, when dropout is on, the
@@ -353,7 +364,24 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
         stats_ref = refs[i]; i += 1              # [G·T, 2H] f32 (m | inv)
     zs = refs[i:i + span]; i += span             # span × [sub, HC]
     g_ref = refs[i]; i += 1                      # [G·T, HC]
-    dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
+    if project:
+        xs = refs[i:i + span]; i += span         # span × [sub, F] (x window)
+        w_ref = refs[i]; i += 1                  # [F, HC]
+        dad_ref, das_ref = refs[i], refs[i + 1]; i += 2
+        dx_ref, dw_ref = refs[i], refs[i + 1]; i += 2
+        carry_ref = refs[i]                      # VMEM scratch [L·sub, HC]
+        n_real = pl.num_programs(0) - 1
+        pid = pl.program_id(0)
+        k0 = (window - r) // 2
+        n_local = group * r + window - r         # local dz sub-blocks
+        n_fin = group * r                        # finalized per step
+        carry_subs = window - r
+
+        @pl.when(pid == 0)
+        def _init():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+    else:
+        dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
 
     c = zs[0].shape[1] // heads
     from .banded import (
@@ -366,6 +394,14 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
     ap_blocks = [a[:].astype(jnp.float32) for a in aps]
+    if project:
+        # sliding-carry direct-dz accumulation (see banded_gat_bwd doc):
+        # local[j] ↔ sender sub-block i·G·r − k0 + j; the first G·r are
+        # finalized this step (after merging the carry), the last W−r roll
+        # into the carry scratch for the next step.  Contributions computed
+        # by the flush-only extra grid step are scaled to zero.
+        local = [None] * n_local
+        vf = jnp.where(pid < n_real, 1.0, 0.0)
     for g in range(group):
         bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
         # packed α via COLUMN extracts only (src lane h, dst lane heads+h) —
@@ -423,6 +459,10 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
                 for h in range(heads)
             ]
         gout_s = [gout[h] * inv[h * tile:(h + 1) * tile] for h in range(heads)]
+        if project:
+            # zero the dz contributions of the flush-only extra step (its
+            # clamped inputs and shifted dropout seed are bogus)
+            gout_s = [gs_ * vf for gs_ in gout_s]
         dp = jnp.concatenate([
             jnp.dot(_mm_cast(gout[h], dt), zcat[:, h * c:(h + 1) * c].T,
                     preferred_element_type=jnp.float32, precision=prec)
@@ -493,25 +533,71 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
                         _mm_cast(e_d[rows, cols], dt).T,
                         _mm_cast(gout_s[h], dt),
                         preferred_element_type=jnp.float32, precision=prec))
-        dad_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
-            dad_cols, axis=1).astype(dad_ref.dtype)
-        if mxu_das:
-            das_ref[g] = jnp.stack(
-                [colsum_t[k * sub:(k + 1) * sub] for k in range(window)],
-                axis=0).astype(das_ref.dtype)
+        if project:
+            @pl.when(pid < n_real)
+            def _store_narrow(g=g, dad_cols=dad_cols, das_blocks=das_blocks,
+                              colsum_t=colsum_t if mxu_das else None):
+                dad_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
+                    dad_cols, axis=1).astype(dad_ref.dtype)
+                if mxu_das:
+                    das_ref[g] = jnp.stack(
+                        [colsum_t[k * sub:(k + 1) * sub]
+                         for k in range(window)],
+                        axis=0).astype(das_ref.dtype)
+                else:
+                    das_ref[g] = jnp.stack(
+                        [jnp.concatenate(bs, axis=1) for bs in das_blocks],
+                        axis=0).astype(das_ref.dtype)
+
+            for k in range(window):
+                j = g * r + k
+                blk = jnp.concatenate(dz_blocks[k], axis=1)  # [sub, HC] f32
+                local[j] = blk if local[j] is None else local[j] + blk
         else:
-            das_ref[g] = jnp.stack(
-                [jnp.concatenate(bs, axis=1) for bs in das_blocks], axis=0
-            ).astype(das_ref.dtype)
-        dz_ref[g] = jnp.stack(
-            [jnp.concatenate(bs, axis=1) for bs in dz_blocks], axis=0
-        ).astype(dz_ref.dtype)
+            dad_ref[g * tile:(g + 1) * tile] = jnp.concatenate(
+                dad_cols, axis=1).astype(dad_ref.dtype)
+            if mxu_das:
+                das_ref[g] = jnp.stack(
+                    [colsum_t[k * sub:(k + 1) * sub] for k in range(window)],
+                    axis=0).astype(das_ref.dtype)
+            else:
+                das_ref[g] = jnp.stack(
+                    [jnp.concatenate(bs, axis=1) for bs in das_blocks],
+                    axis=0).astype(das_ref.dtype)
+            dz_ref[g] = jnp.stack(
+                [jnp.concatenate(bs, axis=1) for bs in dz_blocks], axis=0
+            ).astype(dz_ref.dtype)
+    if project:
+        # merge the carry into the first W−r local blocks, finalize G·r
+        # sub-blocks, and project them in VMEM: dx = dz·Wᵀ, dW += xᵀ·dz —
+        # dz never exists in HBM
+        cin = carry_ref[...]                                 # [L·sub, HC]
+        for m in range(carry_subs):
+            blk = jnp.where(pid == 0, 0.0, cin[m * sub:(m + 1) * sub])
+            local[m] = blk if local[m] is None else local[m] + blk
+        for j in range(n_local):
+            if local[j] is None:
+                local[j] = jnp.zeros((sub, zs[0].shape[1]), jnp.float32)
+        dz_win = jnp.concatenate(
+            [local[j] for j in range(n_fin)], axis=0).astype(dt)
+        x_win = jnp.concatenate(
+            [xs[j][:] for j in range(n_fin)], axis=0)        # [G·T, F]
+        dx_ref[...] = jax.lax.dot_general(
+            dz_win, w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dx_ref.dtype)
+        dw_ref[...] += jax.lax.dot_general(
+            x_win, dz_win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        carry_ref[...] = jnp.concatenate(
+            [local[n_fin + m] for m in range(carry_subs)], axis=0)
 
 
 def banded_gat_bwd(bias_self, z, alphas, g, heads,
                    negative_slope=0.2, dropout_rate=0.0, seed=None,
                    mean_expand=False, stats=None, delta_rs=False,
-                   mxu_das=False, dz_dg=False, raw_dz_partials=False):
+                   mxu_das=False, dz_dg=False, raw_dz_partials=False,
+                   project_x=None, project_w=None):
     """Fused backward of ``banded_gat_fwd`` → (dz, dalphas).
 
     ``alphas`` is PACKED [N, 2H] (src|dst), sliced in VMEM like the forward
@@ -535,13 +621,17 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
     n = z.shape[0]
     g_feat = hc // heads if mean_expand else hc
     use_stats = stats is not None
+    project = project_x is not None
+    f = project_x.shape[1] if project else 0
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
-        feat_bytes=(hc + 2 * h) * z.dtype.itemsize + hc * 4,
+        feat_bytes=(hc + 2 * h) * z.dtype.itemsize + hc * 4
+        + (f * project_x.dtype.itemsize if project else 0),
         # per-window partials (dz in primal dtype + f32 dα_src) dominate the
         # output side
         extra_out_bytes_per_tile=(width // tile) * (
-            hc * z.dtype.itemsize + h * 4),
+            (0 if project else hc * z.dtype.itemsize) + h * 4)
+        + (f * project_x.dtype.itemsize if project else 0),
         extra_in_bytes_per_tile=(2 * h * 4 if use_stats else 0),
         scratch_bytes_per_tile=(
             3 * heads * tile * width * 4
@@ -553,6 +643,7 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_expand=mean_expand,
         use_stats=use_stats, delta_rs=delta_rs, mxu_das=mxu_das, dz_dg=dz_dg,
+        project=project,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     stats_in, stats_specs = [], []
@@ -560,30 +651,61 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         stats_in = [stats]
         stats_specs = [pl.BlockSpec((group * tile, 2 * h), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)]
-    dad, das_part, dz_part = pl.pallas_call(
-        kernel,
-        grid=(n_tiles // group,),
-        in_specs=[
-            *seed_specs,
-            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
+    n_real = n_tiles // group
+    if project:
+        # one flush-only extra grid step; every direct map clamps to the
+        # last real block (outputs revisit it and skip their writes there)
+        grid = n_real + 1
+        dmap = lambda i: (jnp.minimum(i, n_real - 1), 0)  # noqa: E731
+        mmap = lambda i: (jnp.minimum(i, n_real - 1), 0, 0)  # noqa: E731
+    else:
+        grid = n_real
+        dmap = lambda i: (i, 0)  # noqa: E731
+        mmap = lambda i: (i, 0, 0)  # noqa: E731
+    in_specs = [
+        *seed_specs,
+        pl.BlockSpec((group, tile, width), mmap, memory_space=pltpu.VMEM),
+        *_clamped_window_specs(w_sub, tile, 2 * h, n_tiles, group, sub),
+        pl.BlockSpec((group * tile, 2 * h), dmap, memory_space=pltpu.VMEM),
+        *stats_specs,
+        *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
+        pl.BlockSpec((group * tile, g_feat), dmap, memory_space=pltpu.VMEM),
+    ]
+    inputs = [*seed_in, bias_self, *([alphas] * span), alphas, *stats_in,
+              *([z] * span), g]
+    out_specs = [
+        pl.BlockSpec((group * tile, h), dmap, memory_space=pltpu.VMEM),
+        _part_spec_clamped(w_sub, sub, h, group, n_real) if project
+        else _part_spec(w_sub, sub, h, group),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, w_sub, sub, h), jnp.float32),
+    ]
+    scratch_shapes = []
+    if project:
+        in_specs += [
+            *_clamped_window_specs(w_sub, tile, f, n_tiles, group, sub),
+            pl.BlockSpec((f, hc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            *_clamped_window_specs(w_sub, tile, 2 * h, n_tiles, group, sub),
-            pl.BlockSpec((group * tile, 2 * h), lambda i: (i, 0),
+        ]
+        inputs += [*([project_x] * span), project_w]
+        out_specs += [
+            pl.BlockSpec((group * tile, f), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *stats_specs,
-            *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
-            pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
+            pl.BlockSpec((f, hc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((group * tile, h), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            _part_spec(w_sub, sub, h, group),
-            _part_spec(w_sub, sub, hc, group),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, h), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, h), jnp.float32),
+        ]
+        out_shape += [
+            # shifted by k0 sub-blocks (+1 flush step): dx row R of the real
+            # array sits at padded row R + k0·sub
+            jax.ShapeDtypeStruct((grid * group * tile, f), project_x.dtype),
+            jax.ShapeDtypeStruct((f, hc), jnp.float32),
+        ]
+        scratch_shapes = [pltpu.VMEM(((w_sub - r) * sub, hc), jnp.float32)]
+    else:
+        out_specs.append(_part_spec(w_sub, sub, hc, group))
+        out_shape.append(
             # dz partials in the primal dtype: the combined cotangent is cast
             # to z.dtype anyway, and f32 partials are the dominant HBM stream.
             # NOTE: for bf16 primals each of the W window partials is rounded
@@ -591,20 +713,32 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
             # noise of a few bf16 ulps vs all-f32 partials.  Gradient-parity
             # tests therefore compare in f32 at rtol=1e-4; bf16 training
             # quality is covered by the acceptance runs (BENCHMARKS.md).
-            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), z.dtype),
-        ),
+            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), z.dtype))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_tiles * heads * tile * width * (hc // heads),
+            flops=4 * n_tiles * heads * tile * width * (hc // heads)
+            + (4 * n_tiles * tile * f * hc if project else 0),
             bytes_accessed=bias_self.size * bias_self.dtype.itemsize
             + 2 * (w_sub // r + 1) * z.size * 4,
             transcendentals=n_tiles * heads * tile * width,
         ),
         interpret=_use_interpret(),
-    )(*seed_in, bias_self, *([alphas] * span), alphas, *stats_in,
-      *([z] * span), g)
+    )(*inputs)
+    dad, das_part = outs[0], outs[1]
     das = combine_partials(das_part, tile)
     # packed dα (src|dst) — one concat of two already-f32 streams
     da = jnp.concatenate([das, dad], axis=1).astype(alphas.dtype)
+    if project:
+        k0 = (w_sub - r) // 2
+        dx = jax.lax.slice_in_dim(outs[2], k0 * sub, k0 * sub + n, axis=0)
+        return dx, outs[3], da
+    dz_part = outs[2]
     if raw_dz_partials:
         # caller folds (e.g. fold_project_bwd fuses the fold with the
         # projection backward so dz never exists in HBM)
@@ -613,6 +747,189 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
           if dz_part.shape[-1] >= 128
           else combine_partials(dz_part, tile).astype(z.dtype))
     return dz, da
+
+
+# ------------------------------------ Transformer backward (head-stacked)
+def _tr_bwd_kernel_stacked(*refs, window, heads, scale, has_gs, group, sub,
+                           dropout_rate=0.0, mean_expand=False, geo=False):
+    """Head-STACKED transformer backward (geo / plain paths).
+
+    The round-4 kernel looped heads with narrow [T, Wcols] VPU chains; this
+    variant mirrors ``_gat_bwd_kernel``: the per-head MXU matmuls (logits,
+    dp, dq, dk/dv) stay per-head, but every elementwise/reduce chain and
+    every K=4 geometric matmul (qpos, gsp, t13u) runs ONCE on the stacked
+    [H·T, Wcols] plane.  Dropout replays the forward's per-head PRNG draws
+    (one draw per head, stacked by concatenation) bit-exactly.
+    """
+    i = 0
+    if dropout_rate > 0:
+        seed_ref = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1                   # [G, T, Wcols]
+    tile = mask_ref.shape[1]
+    r = tile // sub
+    span = group * r + window - r
+    k0 = (window - r) // 2
+    q_ref = refs[i]; i += 1                      # [G·T, HC]
+    ks = refs[i:i + span]; i += span             # span × [sub, HC]
+    vs = refs[i:i + span]; i += span
+    poss = None
+    if geo:
+        feat_ref = refs[i]; i += 1   # [G, 2, T, Wcols] (dist, 1/dist)
+        qw_ref = refs[i]; i += 1     # [G·T, H*4]
+        poss = refs[i:i + span]; i += span       # span × [sub, 4]
+    g_ref = refs[i]; i += 1
+    gs_ref = refs[i] if has_gs else None
+    i += 1 if has_gs else 0
+    dq_ref = refs[i]; i += 1
+    dk_ref, dv_ref = refs[i], refs[i + 1]; i += 2
+    dqw_ref = refs[i] if geo else None
+
+    c = q_ref.shape[1] // heads
+    from .banded import _mm_cast, _prec
+
+    prec = _prec(ks[0].dtype)
+    dt = ks[0].dtype
+    if dropout_rate > 0:
+        from .banded import (
+            _dropout_bits, _dropout_thresh, _prng_seed,
+        )
+
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+
+    def _stack4(src_ref, rows):
+        """[T, H·4] lane-packed per-head quads → stacked [H·T, 4] f32.
+
+        Per-head extraction via tiny one-hot matmuls so every concat
+        operand lands at lane offset 0 (Mosaic vpad constraint)."""
+        t_blk = src_ref[rows].astype(jnp.float32)            # [T, H·4]
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (heads * 4, 4), 0)
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (heads * 4, 4), 1)
+        blocks = []
+        for h in range(heads):
+            sel = ((lane >= h * 4) & (lane < (h + 1) * 4)
+                   & (lane - h * 4 == col)).astype(jnp.float32)
+            blocks.append(jnp.dot(t_blk, sel,
+                                  preferred_element_type=jnp.float32))
+        return jnp.concatenate(blocks, axis=0)               # [H·T, 4]
+
+    for g in range(group):
+        rows = slice(g * tile, (g + 1) * tile)
+        bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
+        bias_st = jnp.concatenate([bias_cat] * heads, axis=0)
+        kcat = jnp.concatenate(
+            [ks[g * r + k][:] for k in range(window)], axis=0)  # [Wcols, HC]
+        vcat = jnp.concatenate(
+            [vs[g * r + k][:] for k in range(window)], axis=0)
+        # per-head logit matmuls, stacked rows
+        full = jnp.concatenate([
+            jnp.dot(q_ref[rows, h * c:(h + 1) * c],
+                    kcat[:, h * c:(h + 1) * c].T,
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
+            for h in range(heads)
+        ], axis=0) * scale                                   # [H·T, Wcols]
+        full = full + bias_st
+        if geo:
+            dist_st = jnp.concatenate([feat_ref[g, 0]] * heads, axis=0)
+            invd_st = jnp.concatenate([feat_ref[g, 1]] * heads, axis=0)
+            pos_cat = jnp.concatenate(
+                [poss[g * r + k][:].astype(jnp.float32)
+                 for k in range(window)], axis=0)            # [Wcols, 4]
+            pos_c = jnp.concatenate(
+                [poss[g * r + k0 + j][:].astype(jnp.float32)
+                 for j in range(r)], axis=0)                 # [T, 4]
+            pos_c_st = jnp.concatenate([pos_c] * heads, axis=0)
+            qd = _stack4(qw_ref, rows) * scale               # [H·T, 4]
+            qself = jnp.sum(qd * pos_c_st, axis=1, keepdims=True)
+            qpos = jnp.dot(qd, pos_cat.T,
+                           preferred_element_type=jnp.float32,
+                           precision=prec)                   # [H·T, Wcols]
+            full = full + (qself - qpos) * invd_st \
+                + qd[:, 3:4] * dist_st
+        m = jnp.maximum(jnp.max(full, axis=1, keepdims=True), -1e30)
+        e = jnp.exp(full - m)
+        e = jnp.where(full <= -1e29, 0.0, e)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        inv = 1.0 / denom                                    # [H·T, 1]
+        if mean_expand:
+            g_hs = [g_ref[rows].astype(jnp.float32) * (1.0 / heads)
+                    ] * heads
+        else:
+            g_hs = [g_ref[rows, h * c:(h + 1) * c].astype(jnp.float32)
+                    for h in range(heads)]
+        dp = jnp.concatenate([
+            jnp.dot(_mm_cast(g_hs[h], dt), vcat[:, h * c:(h + 1) * c].T,
+                    preferred_element_type=jnp.float32, precision=prec)
+            for h in range(heads)
+        ], axis=0)                                           # [H·T, Wcols]
+        if has_gs:
+            gs4 = _stack4(gs_ref, rows)                      # [H·T, 4]
+            gs_self = jnp.sum(gs4 * pos_c_st, axis=1, keepdims=True)
+            gsp = jnp.dot(gs4, pos_cat.T,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+            dp = dp + (gs_self - gsp) * invd_st + gs4[:, 3:4] * dist_st
+        if dropout_rate > 0:
+            sv = seed_ref[0] + pl.program_id(0) * group + g
+            _prng_seed(sv)
+            # replay the forward's per-head draw order, stacked
+            keep = jnp.concatenate([
+                _dropout_bits((tile, e.shape[1]), sv, draw=h)
+                >= _dropout_thresh(dropout_rate)
+                for h in range(heads)
+            ], axis=0)
+            e_d = jnp.where(keep, e * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            e_d = e
+        g_ss = [g_hs[h] * inv[h * tile:(h + 1) * tile] for h in range(heads)]
+        rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
+        dl = (e * ((dp - rs) * inv)) * scale                 # [H·T, Wcols]
+        dq_cols = []
+        dk_blocks = [[] for _ in range(window)]
+        dv_blocks = [[] for _ in range(window)]
+        for h in range(heads):
+            hrows = slice(h * tile, (h + 1) * tile)
+            dq_cols.append(jnp.dot(
+                _mm_cast(dl[hrows], dt), kcat[:, h * c:(h + 1) * c],
+                preferred_element_type=jnp.float32, precision=prec))
+            for k in range(window):
+                cols = slice(k * sub, (k + 1) * sub)
+                dk_blocks[k].append(jnp.dot(
+                    _mm_cast(dl[hrows, cols], dt).T,
+                    q_ref[rows, h * c:(h + 1) * c]
+                    if dt == jnp.bfloat16
+                    else q_ref[rows, h * c:(h + 1) * c].astype(jnp.float32),
+                    preferred_element_type=jnp.float32, precision=prec))
+                dv_blocks[k].append(jnp.dot(
+                    _mm_cast(e_d[hrows, cols], dt).T, _mm_cast(g_ss[h], dt),
+                    preferred_element_type=jnp.float32, precision=prec))
+        dq_ref[rows] = jnp.concatenate(dq_cols, axis=1).astype(dq_ref.dtype)
+        dk_ref[g] = jnp.stack(
+            [jnp.concatenate(bs, axis=1) for bs in dk_blocks], axis=0
+        ).astype(dk_ref.dtype)
+        dv_ref[g] = jnp.stack(
+            [jnp.concatenate(bs, axis=1) for bs in dv_blocks], axis=0
+        ).astype(dv_ref.dtype)
+        if geo:
+            # dqw via the stacked factorization: one [H·T, Wcols] plane
+            # pass + one stacked K=4 matmul
+            u = dl * invd_st
+            t13u = jnp.dot(u, pos_cat,
+                           preferred_element_type=jnp.float32,
+                           precision=prec)                   # [H·T, 4]
+            t0u = jnp.sum(u, axis=1, keepdims=True)
+            dqw3 = jnp.sum(dl * dist_st, axis=1, keepdims=True)
+            dqw_cols = []
+            for h in range(heads):
+                hrows = slice(h * tile, (h + 1) * tile)
+                dqw_cols.append(jnp.concatenate(
+                    [(pos_c * t0u[hrows] - t13u[hrows])[:, :3],
+                     dqw3[hrows]], axis=1))                  # [T, 4]
+            dqw_ref[rows] = jnp.concatenate(
+                dqw_cols, axis=1).astype(dqw_ref.dtype)
 
 
 # ---------------------------------------------------- Transformer backward
@@ -806,6 +1123,8 @@ def banded_transformer_bwd(
     edge_dim = 4 if geo else (
         edge_band.shape[1] if edge_band is not None else 0)
     n_planes = 2 if geo else edge_dim
+    from .banded import TR_BWD_STACKED
+    stacked = TR_BWD_STACKED and (geo or edge_dim == 0)
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
         feat_bytes=(2 * hc * q.dtype.itemsize + 2 * hc * 4
@@ -851,11 +1170,18 @@ def banded_transformer_bwd(
         gs_in = [gs]
         gs_specs = [pl.BlockSpec((group * tile, heads * edge_dim),
                                  lambda i: (i, 0), memory_space=pltpu.VMEM)]
-    kernel = functools.partial(
-        _tr_bwd_kernel, window=w_sub, heads=heads, scale=1.0 / (c ** 0.5),
-        edge_dim=edge_dim, has_gs=has_gs, group=group, sub=sub,
-        dropout_rate=dropout_rate, mean_expand=mean_expand, geo=geo,
-    )
+    if stacked:
+        kernel = functools.partial(
+            _tr_bwd_kernel_stacked, window=w_sub, heads=heads,
+            scale=1.0 / (c ** 0.5), has_gs=has_gs, group=group, sub=sub,
+            dropout_rate=dropout_rate, mean_expand=mean_expand, geo=geo,
+        )
+    else:
+        kernel = functools.partial(
+            _tr_bwd_kernel, window=w_sub, heads=heads, scale=1.0 / (c ** 0.5),
+            edge_dim=edge_dim, has_gs=has_gs, group=group, sub=sub,
+            dropout_rate=dropout_rate, mean_expand=mean_expand, geo=geo,
+        )
     g_feat = c if mean_expand else hc
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     out_specs = [

@@ -842,6 +842,52 @@ class TestFusedProjectionGAT:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4, err_msg=name)
 
+    def test_inkernel_project_matches_separate(self):
+        """The carry-based direct-dz + in-kernel projection backward
+        (project_x/project_w) must reproduce the separate fold+matmul
+        gradients exactly — exercised directly because the size gate keeps
+        it off at test shapes."""
+        from gnn_bfs_rans_tpu.kernels.banded_bwd import banded_gat_bwd
+
+        g = _band_graph(width=16)
+        rng = np.random.default_rng(11)
+        H, C, F = 2, 8, 16
+        hc = H * C
+        x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(F, hc)).astype(np.float32)) * 0.3
+        z = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        al = jnp.asarray(rng.normal(size=(g.n_pad, 2 * H)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(g.n_pad, C)).astype(np.float32))
+
+        dz, da_ref = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, mean_expand=True)
+        dx_ref = jnp.dot(dz, w.T, preferred_element_type=jnp.float32)
+        dw_ref = jnp.dot(x.T, dz, preferred_element_type=jnp.float32)
+
+        dx, dw, da = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, mean_expand=True,
+            project_x=x, project_w=w)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # dropout path: seeds replay identically through the flush step
+        seed = jnp.zeros((1,), jnp.int32)
+        dz_d, _ = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, dropout_rate=0.25,
+            seed=seed, mean_expand=True)
+        dx_d, dw_d, _ = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, dropout_rate=0.25,
+            seed=seed, mean_expand=True, project_x=x, project_w=w)
+        np.testing.assert_allclose(
+            np.asarray(dx_d),
+            np.asarray(jnp.dot(dz_d, w.T,
+                               preferred_element_type=jnp.float32)),
+            rtol=2e-4, atol=2e-4)
+
     def test_fused_train_conv_matches_unfused_grads(self):
         """GATConv(fuse_train=True) train-mode value AND grads == unfused."""
         from gnn_bfs_rans_tpu.models.convs import GATConv
