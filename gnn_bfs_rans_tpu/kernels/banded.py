@@ -1414,6 +1414,27 @@ def _trgmp_vjp_bwd(heads, dropout_rate, res, g):
      wq, wk, wv, bq, bk, bv, wblk) = res
     g_out, g_s = g
     tile = bias_noself.shape[1]
+    if BWD_INKERNEL_PROJECT and wq.shape[1] >= 128:
+        # carry-based direct dk/dv + full in-kernel projection backward:
+        # dq/dk/dv/dqw never exist in HBM (see banded_transformer_bwd).
+        # Unlike the GAT path this wins at every size (flagship 6.40 →
+        # 6.05 ms: it absorbs two fold_project kernels, the dq_full/dwblk
+        # fusions and the q projection backward), so no byte threshold.
+        dx, dwq, dwk, dwv, dbq, dbk, dbv, dwblk = banded_transformer_bwd(
+            bias_noself, q, k, v, g_out.astype(q.dtype), heads,
+            qw=qw, gs=g_s, geo_band=geo_band, pos=pos,
+            dropout_rate=dropout_rate, seed=seed, mean_expand=True,
+            project_x=x, project_wq=wq, project_wk=wk, project_wv=wv,
+            project_wblk=wblk,
+        )
+        dseed = (None if seed is None
+                 else np.zeros(seed.shape, jax.dtypes.float0))
+        return (_zero_cot(bias_noself), jnp.zeros_like(geo_band),
+                jnp.zeros_like(pos), dx.astype(x.dtype),
+                dwq.astype(wq.dtype), dwk.astype(wk.dtype),
+                dwv.astype(wv.dtype), dbq.astype(bq.dtype),
+                dbk.astype(bk.dtype), dbv.astype(bv.dtype),
+                dwblk.astype(wblk.dtype), dseed)
     dq, dk_part, dv_part, dqw = banded_transformer_bwd(
         bias_noself, q, k, v, g_out.astype(q.dtype), heads,
         qw=qw, gs=g_s, geo_band=geo_band, pos=pos,

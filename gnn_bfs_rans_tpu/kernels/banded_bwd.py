@@ -751,7 +751,8 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
 
 # ------------------------------------ Transformer backward (head-stacked)
 def _tr_bwd_kernel_stacked(*refs, window, heads, scale, has_gs, group, sub,
-                           dropout_rate=0.0, mean_expand=False, geo=False):
+                           dropout_rate=0.0, mean_expand=False, geo=False,
+                           project=False):
     """Head-STACKED transformer backward (geo / plain paths).
 
     The round-4 kernel looped heads with narrow [T, Wcols] VPU chains; this
@@ -780,9 +781,40 @@ def _tr_bwd_kernel_stacked(*refs, window, heads, scale, has_gs, group, sub,
     g_ref = refs[i]; i += 1
     gs_ref = refs[i] if has_gs else None
     i += 1 if has_gs else 0
-    dq_ref = refs[i]; i += 1
-    dk_ref, dv_ref = refs[i], refs[i + 1]; i += 2
-    dqw_ref = refs[i] if geo else None
+    if project:
+        span_x = span
+        xs = refs[i:i + span_x]; i += span_x     # span × [sub, F] (x window)
+        wq_ref, wk_ref, wv_ref = refs[i:i + 3]; i += 3   # [F, HC]
+        wblk_ref = refs[i]; i += 1               # [HC, H·4]
+        dxq_ref = refs[i]; i += 1                # [G·T, F] (receiver rows)
+        dxkv_ref = refs[i]; i += 1               # [G·T, F] (shifted window)
+        dwq_ref, dwk_ref, dwv_ref = refs[i:i + 3]; i += 3  # [F, HC] f32 acc
+        dbq_ref, dbk_ref, dbv_ref = refs[i:i + 3]; i += 3  # [8, HC] f32 acc
+        dwblk_ref = refs[i]; i += 1              # [HC, H·4] f32 acc
+        carry_k_ref, carry_v_ref = refs[i], refs[i + 1]   # VMEM scratch
+        n_real = pl.num_programs(0) - 1
+        pid = pl.program_id(0)
+        n_local = group * r + window - r
+        n_fin = group * r
+        carry_subs = window - r
+
+        @pl.when(pid == 0)
+        def _init():
+            dwq_ref[...] = jnp.zeros_like(dwq_ref)
+            dwk_ref[...] = jnp.zeros_like(dwk_ref)
+            dwv_ref[...] = jnp.zeros_like(dwv_ref)
+            dbq_ref[...] = jnp.zeros_like(dbq_ref)
+            dbk_ref[...] = jnp.zeros_like(dbk_ref)
+            dbv_ref[...] = jnp.zeros_like(dbv_ref)
+            dwblk_ref[...] = jnp.zeros_like(dwblk_ref)
+
+        local_k = [None] * n_local
+        local_v = [None] * n_local
+        vf = jnp.where(pid < n_real, 1.0, 0.0)
+    else:
+        dq_ref = refs[i]; i += 1
+        dk_ref, dv_ref = refs[i], refs[i + 1]; i += 2
+        dqw_ref = refs[i] if geo else None
 
     c = q_ref.shape[1] // heads
     from .banded import _mm_cast, _prec
@@ -887,6 +919,12 @@ def _tr_bwd_kernel_stacked(*refs, window, heads, scale, has_gs, group, sub,
         g_ss = [g_hs[h] * inv[h * tile:(h + 1) * tile] for h in range(heads)]
         rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
         dl = (e * ((dp - rs) * inv)) * scale                 # [H·T, Wcols]
+        if project:
+            # zero every contribution of the flush-only extra grid step
+            # (clamped inputs, shifted dropout seed): dl covers dq/dk/dqw,
+            # g_ss covers dv
+            dl = dl * vf
+            g_ss = [gs_ * vf for gs_ in g_ss]
         dq_cols = []
         dk_blocks = [[] for _ in range(window)]
         dv_blocks = [[] for _ in range(window)]
@@ -906,13 +944,22 @@ def _tr_bwd_kernel_stacked(*refs, window, heads, scale, has_gs, group, sub,
                 dv_blocks[k].append(jnp.dot(
                     _mm_cast(e_d[hrows, cols], dt).T, _mm_cast(g_ss[h], dt),
                     preferred_element_type=jnp.float32, precision=prec))
-        dq_ref[rows] = jnp.concatenate(dq_cols, axis=1).astype(dq_ref.dtype)
-        dk_ref[g] = jnp.stack(
-            [jnp.concatenate(bs, axis=1) for bs in dk_blocks], axis=0
-        ).astype(dk_ref.dtype)
-        dv_ref[g] = jnp.stack(
-            [jnp.concatenate(bs, axis=1) for bs in dv_blocks], axis=0
-        ).astype(dv_ref.dtype)
+        if project:
+            for k in range(window):
+                j = g * r + k
+                bk_ = jnp.concatenate(dk_blocks[k], axis=1)  # [sub, HC] f32
+                bv_ = jnp.concatenate(dv_blocks[k], axis=1)
+                local_k[j] = bk_ if local_k[j] is None else local_k[j] + bk_
+                local_v[j] = bv_ if local_v[j] is None else local_v[j] + bv_
+        else:
+            dq_ref[rows] = jnp.concatenate(
+                dq_cols, axis=1).astype(dq_ref.dtype)
+            dk_ref[g] = jnp.stack(
+                [jnp.concatenate(bs, axis=1) for bs in dk_blocks], axis=0
+            ).astype(dk_ref.dtype)
+            dv_ref[g] = jnp.stack(
+                [jnp.concatenate(bs, axis=1) for bs in dv_blocks], axis=0
+            ).astype(dv_ref.dtype)
         if geo:
             # dqw via the stacked factorization: one [H·T, Wcols] plane
             # pass + one stacked K=4 matmul
@@ -928,8 +975,92 @@ def _tr_bwd_kernel_stacked(*refs, window, heads, scale, has_gs, group, sub,
                 dqw_cols.append(jnp.concatenate(
                     [(pos_c * t0u[hrows] - t13u[hrows])[:, :3],
                      dqw3[hrows]], axis=1))                  # [T, 4]
-            dqw_ref[rows] = jnp.concatenate(
-                dqw_cols, axis=1).astype(dqw_ref.dtype)
+            if not project:
+                dqw_ref[rows] = jnp.concatenate(
+                    dqw_cols, axis=1).astype(dqw_ref.dtype)
+        if project:
+            # receiver-side epilogue: fold dqw through wblk into dq, then
+            # project dq in VMEM (dxq = dq·Wqᵀ, dWq += xᵀ·dq, dbq += Σdq,
+            # dwblk += qᵀ·dqw) — dq/dqw never exist in HBM
+            x_dir = jnp.concatenate(
+                [xs[g * r + k0 + j][:] for j in range(r)], axis=0)  # [T, F]
+            dqf_cols = []
+            for h in range(heads):
+                wblk_h = wblk_ref[h * c:(h + 1) * c,
+                                  h * 4:(h + 1) * 4].astype(jnp.float32)
+                dq_h = dq_cols[h]
+                if geo:
+                    dq_h = dq_h + jnp.dot(
+                        dqw_cols[h], wblk_h.T,
+                        preferred_element_type=jnp.float32)
+                    dwblk_ref[h * c:(h + 1) * c, h * 4:(h + 1) * 4] += (
+                        jax.lax.dot_general(
+                            q_ref[rows, h * c:(h + 1) * c].astype(
+                                jnp.float32),
+                            dqw_cols[h], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+                dqf_cols.append(dq_h)
+            dq_full = jnp.concatenate(dqf_cols, axis=1).astype(dt)  # [T, HC]
+
+            @pl.when(pid < n_real)
+            def _store_dxq(g=g, dq_full=dq_full):
+                dxq_ref[g * tile:(g + 1) * tile] = jax.lax.dot_general(
+                    dq_full, wq_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(dxq_ref.dtype)
+
+            dwq_ref[...] += jax.lax.dot_general(
+                x_dir, dq_full, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dbq_ref[...] += jnp.dot(
+                jnp.ones((8, tile), dt), dq_full,
+                preferred_element_type=jnp.float32, precision=prec)
+    if project:
+        # sender-side epilogue: merge the carries, finalize G·r sub-blocks
+        # of dk/dv and project them (see banded_gat_bwd's project mode)
+        cin_k = carry_k_ref[...]
+        cin_v = carry_v_ref[...]
+        for m in range(carry_subs):
+            bk_ = jnp.where(pid == 0, 0.0, cin_k[m * sub:(m + 1) * sub])
+            bv_ = jnp.where(pid == 0, 0.0, cin_v[m * sub:(m + 1) * sub])
+            local_k[m] = bk_ if local_k[m] is None else local_k[m] + bk_
+            local_v[m] = bv_ if local_v[m] is None else local_v[m] + bv_
+        hc_all = q_ref.shape[1]
+        for j in range(n_local):
+            if local_k[j] is None:
+                local_k[j] = jnp.zeros((sub, hc_all), jnp.float32)
+            if local_v[j] is None:
+                local_v[j] = jnp.zeros((sub, hc_all), jnp.float32)
+        dk_win = jnp.concatenate(
+            [local_k[j] for j in range(n_fin)], axis=0).astype(dt)
+        dv_win = jnp.concatenate(
+            [local_v[j] for j in range(n_fin)], axis=0).astype(dt)
+        x_win = jnp.concatenate(
+            [xs[j][:] for j in range(n_fin)], axis=0)
+        dxkv_ref[...] = (jax.lax.dot_general(
+            dk_win, wk_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+            + jax.lax.dot_general(
+                dv_win, wv_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        ).astype(dxkv_ref.dtype)
+        dwk_ref[...] += jax.lax.dot_general(
+            x_win, dk_win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dwv_ref[...] += jax.lax.dot_general(
+            x_win, dv_win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ones8 = jnp.ones((8, n_fin * sub), dt)
+        dbk_ref[...] += jnp.dot(ones8, dk_win,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        dbv_ref[...] += jnp.dot(ones8, dv_win,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        carry_k_ref[...] = jnp.concatenate(
+            [local_k[n_fin + m] for m in range(carry_subs)], axis=0)
+        carry_v_ref[...] = jnp.concatenate(
+            [local_v[n_fin + m] for m in range(carry_subs)], axis=0)
 
 
 # ---------------------------------------------------- Transformer backward
@@ -1101,6 +1232,8 @@ def banded_transformer_bwd(
     mean_expand=False,
     geo_band=None, pos=None,
     raw_kv_partials=False,
+    project_x=None, project_wq=None, project_wk=None, project_wv=None,
+    project_wblk=None,
 ):
     """Fused backward of the (optionally edge-conditioned) transformer forward.
 
@@ -1108,7 +1241,10 @@ def banded_transformer_bwd(
     conditioning is on) the cotangent of the weighted-edge-feature output
     ``s``.  ``geo_band``+``pos`` select the factorized geometric path
     (see ``banded._transformer_kernel``).  Returns (dq, dk, dv) or
-    (dq, dk, dv, dqw).
+    (dq, dk, dv, dqw).  With the ``project_*`` arguments (geo path only)
+    the q/k/v projection backward runs INSIDE the kernel (carry-based
+    direct dk/dv — see ``banded_gat_bwd``) and the return becomes
+    ``(dx, dwq, dwk, dwv, dbq, dbk, dbv, dwblk)``.
     """
     from .banded import _choose_group, _clamped_window_specs, _seed_inputs
 
@@ -1124,44 +1260,64 @@ def banded_transformer_bwd(
         edge_band.shape[1] if edge_band is not None else 0)
     n_planes = 2 if geo else edge_dim
     from .banded import TR_BWD_STACKED
-    stacked = TR_BWD_STACKED and (geo or edge_dim == 0)
+    project = project_x is not None
+    assert not project or geo, "in-kernel projection requires the geo path"
+    stacked = project or (TR_BWD_STACKED and (geo or edge_dim == 0))
+    f = project_x.shape[1] if project else 0
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
         feat_bytes=(2 * hc * q.dtype.itemsize + 2 * hc * 4
-                    + (4 * 4 if geo else 0)),   # windowed [sub, 4] pos
+                    + (4 * 4 if geo else 0)    # windowed [sub, 4] pos
+                    + (f * q.dtype.itemsize if project else 0)),
         extra_in_bytes_per_tile=(
             2 * hc * q.dtype.itemsize           # direct q and g tiles
             + n_planes * width * 4              # f32 edge/geo planes
             + 2 * heads * edge_dim * 4          # qw + gs tiles
         ),
-        # per-window partials (dk + dv, primal dtype) dominate the output side
+        # output side: dk/dv window partials — or, with in-kernel
+        # projection, the two dx streams
         extra_out_bytes_per_tile=(
-            2 * (width // tile) * hc * q.dtype.itemsize
+            2 * f * q.dtype.itemsize if project
+            else 2 * (width // tile) * hc * q.dtype.itemsize
             + heads * edge_dim * 4),
         # f32 scratch includes the kcat/vcat window concatenations (see the
         # forward wrapper) — the geo backward at HC=256 measures 17.4 MB
-        # scoped VMEM at the group the old estimate picked (hard limit 16)
+        # scoped VMEM at the group the old estimate picked (hard limit 16);
+        # the project carries/accumulators add ~4·hc·(f+sub) f32
         scratch_bytes_per_tile=(
             (3 * heads * tile * width + 2 * width * hc) * 4
-            if q.dtype == jnp.float32 else 0),
+            if q.dtype == jnp.float32 else 0)
+        + (4 * hc * (f + (w_sub - r) * sub) // max(n_tiles // 16, 1)
+           if project else 0),
     )
     span = group * r + w_sub - r
+    n_real = n_tiles // group
+    if project:
+        grid = n_real + 1
+        dmap = lambda i: (jnp.minimum(i, n_real - 1), 0)  # noqa: E731
+        mmap = lambda i: (jnp.minimum(i, n_real - 1), 0, 0)  # noqa: E731
+        gmap = lambda i: (jnp.minimum(i, n_real - 1), 0, 0, 0)  # noqa: E731
+    else:
+        grid = n_real
+        dmap = lambda i: (i, 0)  # noqa: E731
+        mmap = lambda i: (i, 0, 0)  # noqa: E731
+        gmap = lambda i: (i, 0, 0, 0)  # noqa: E731
     extra, extra_specs = [], []
     if geo:
         extra = [geo_band, qw, *([pos] * span)]
         extra_specs = [
-            pl.BlockSpec((group, 2, tile, width),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * tile, heads * 4), lambda i: (i, 0),
+            pl.BlockSpec((group, 2, tile, width), gmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * tile, heads * 4), dmap,
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(w_sub, tile, 4, n_tiles, group, sub),
         ]
     elif edge_dim:
         extra = [edge_band, qw]
         extra_specs = [
-            pl.BlockSpec((group, edge_dim, tile, width),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * tile, heads * edge_dim), lambda i: (i, 0),
+            pl.BlockSpec((group, edge_dim, tile, width), gmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * tile, heads * edge_dim), dmap,
                          memory_space=pltpu.VMEM),
         ]
     has_gs = gs is not None
@@ -1169,12 +1325,13 @@ def banded_transformer_bwd(
     if has_gs:
         gs_in = [gs]
         gs_specs = [pl.BlockSpec((group * tile, heads * edge_dim),
-                                 lambda i: (i, 0), memory_space=pltpu.VMEM)]
+                                 dmap, memory_space=pltpu.VMEM)]
     if stacked:
         kernel = functools.partial(
             _tr_bwd_kernel_stacked, window=w_sub, heads=heads,
             scale=1.0 / (c ** 0.5), has_gs=has_gs, group=group, sub=sub,
             dropout_rate=dropout_rate, mean_expand=mean_expand, geo=geo,
+            project=project,
         )
     else:
         kernel = functools.partial(
@@ -1184,45 +1341,87 @@ def banded_transformer_bwd(
         )
     g_feat = c if mean_expand else hc
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
-    out_specs = [
-        pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        _part_spec(w_sub, sub, hc, group),
-        _part_spec(w_sub, sub, hc, group),
-    ]
-    out_shape = [
-        # dq in the primal dtype: every consumer casts it there anyway, and
-        # the f32 write+read was the largest stream of the projgrad backward
-        # (f32[12288,1024] = 50 MB at the flagship shape)
-        jax.ShapeDtypeStruct((n, hc), q.dtype),
-        # dk/dv partials in the primal dtype (see banded_gat_bwd)
-        jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), k.dtype),
-        jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), v.dtype),
-    ]
-    if edge_dim:
-        out_specs.append(
-            pl.BlockSpec((group * tile, heads * edge_dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM))
-        out_shape.append(
-            jax.ShapeDtypeStruct((n, heads * edge_dim), jnp.float32))
+    proj_in, proj_in_specs = [], []
+    scratch_shapes = []
+    if project:
+        proj_in = [*([project_x] * span), project_wq, project_wk,
+                   project_wv, project_wblk]
+        proj_in_specs = [
+            *_clamped_window_specs(w_sub, tile, f, n_tiles, group, sub),
+            pl.BlockSpec((f, hc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, hc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, heads * 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((group * tile, f), dmap,
+                         memory_space=pltpu.VMEM),               # dxq
+            pl.BlockSpec((group * tile, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),               # dxkv
+            *[pl.BlockSpec((f, hc), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)] * 3,        # dW q/k/v
+            *[pl.BlockSpec((8, hc), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)] * 3,        # db q/k/v
+            pl.BlockSpec((hc, heads * 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),               # dwblk
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, f), project_x.dtype),
+            jax.ShapeDtypeStruct((grid * group * tile, f), project_x.dtype),
+            *[jax.ShapeDtypeStruct((f, hc), jnp.float32)] * 3,
+            *[jax.ShapeDtypeStruct((8, hc), jnp.float32)] * 3,
+            jax.ShapeDtypeStruct((hc, heads * 4), jnp.float32),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM(((w_sub - r) * sub, hc), jnp.float32),
+            pltpu.VMEM(((w_sub - r) * sub, hc), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((group * tile, hc), dmap,
+                         memory_space=pltpu.VMEM),
+            _part_spec(w_sub, sub, hc, group),
+            _part_spec(w_sub, sub, hc, group),
+        ]
+        out_shape = [
+            # dq in the primal dtype: every consumer casts it there anyway,
+            # and the f32 write+read was the largest stream of the projgrad
+            # backward (f32[12288,1024] = 50 MB at the flagship shape)
+            jax.ShapeDtypeStruct((n, hc), q.dtype),
+            # dk/dv partials in the primal dtype (see banded_gat_bwd)
+            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), k.dtype),
+            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, hc), v.dtype),
+        ]
+        if edge_dim:
+            out_specs.append(
+                pl.BlockSpec((group * tile, heads * edge_dim), dmap,
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n, heads * edge_dim), jnp.float32))
     outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles // group,),
+        grid=(grid,),
         in_specs=[
             *seed_specs,
-            pl.BlockSpec((group, tile, width), lambda i: (i, 0, 0),
+            pl.BlockSpec((group, tile, width), mmap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+            pl.BlockSpec((group * tile, hc), dmap,
                          memory_space=pltpu.VMEM),
             *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
             *_clamped_window_specs(w_sub, tile, hc, n_tiles, group, sub),
             *extra_specs,
-            pl.BlockSpec((group * tile, g_feat), lambda i: (i, 0),
+            pl.BlockSpec((group * tile, g_feat), dmap,
                          memory_space=pltpu.VMEM),
             *gs_specs,
+            *proj_in_specs,
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=8 * n_tiles * heads * tile * width * c,
             bytes_accessed=bias_noself.size * bias_noself.dtype.itemsize
@@ -1231,7 +1430,13 @@ def banded_transformer_bwd(
         ),
         interpret=_use_interpret(),
     )(*seed_in, bias_noself, q, *([k] * span), *([v] * span), *extra,
-      g, *gs_in)
+      g, *gs_in, *proj_in)
+    if project:
+        (dxq, dxkv, dwq, dwk, dwv, dbq, dbk, dbv, dwblk) = outs
+        k0 = (w_sub - r) // 2
+        dx = dxq + jax.lax.slice_in_dim(
+            dxkv, k0 * sub, k0 * sub + n, axis=0)
+        return dx, dwq, dwk, dwv, dbq[0], dbk[0], dbv[0], dwblk
     dq = outs[0].astype(q.dtype)
     if raw_kv_partials:
         # caller folds (fold_project_bwd fuses the fold with the k/v

@@ -888,6 +888,60 @@ class TestFusedProjectionGAT:
                                preferred_element_type=jnp.float32)),
             rtol=2e-4, atol=2e-4)
 
+    def test_tr_inkernel_project_matches_separate(self):
+        """The transformer carry-based in-kernel projection backward must
+        reproduce the separate-path gradients (geo path; wblk is
+        block-diagonal by construction, so only its diagonal blocks carry
+        structurally live cotangents)."""
+        from gnn_bfs_rans_tpu.kernels.banded_bwd import banded_transformer_bwd
+
+        _, _, band = _geo_bands()
+        rng = np.random.default_rng(5)
+        H, C, F = 2, 8, 16
+        hc = H * C
+        n = band.bias_noself.shape[0] * band.tile
+        x = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+        wq = jnp.asarray(rng.normal(size=(F, hc)).astype(np.float32)) * 0.3
+        wk = jnp.asarray(rng.normal(size=(F, hc)).astype(np.float32)) * 0.3
+        wv = jnp.asarray(rng.normal(size=(F, hc)).astype(np.float32)) * 0.3
+        w_e = rng.normal(size=(4, H, C)).astype(np.float32) * 0.2
+        eye_h = np.eye(H, dtype=np.float32)
+        wblk = jnp.asarray((eye_h[:, None, :, None]
+                            * np.transpose(w_e, (1, 2, 0))[:, :, None, :]
+                            ).reshape(hc, H * 4))
+        q = jnp.dot(x, wq)
+        k = jnp.dot(x, wk)
+        v = jnp.dot(x, wv)
+        qw = jnp.dot(q, wblk)
+        cot = jnp.asarray(rng.normal(size=(n, C)).astype(np.float32))
+        gs = jnp.asarray(rng.normal(size=(n, H * 4)).astype(np.float32))
+
+        dq, dk, dv, dqw = banded_transformer_bwd(
+            band.bias_noself, q, k, v, cot, H, qw=qw, gs=gs,
+            geo_band=band.geo, pos=band.pos, mean_expand=True)
+        dq_full = dq.astype(jnp.float32) + jnp.dot(dqw, wblk.T)
+        mask = jnp.asarray((eye_h[:, None, :, None]
+                            * np.ones((1, C, 1, 4), np.float32)
+                            ).reshape(hc, H * 4))
+        refs = dict(
+            dx=jnp.dot(dq_full, wq.T) + jnp.dot(dk, wk.T)
+            + jnp.dot(dv, wv.T),
+            dwq=jnp.dot(x.T, dq_full), dwk=jnp.dot(x.T, dk),
+            dwv=jnp.dot(x.T, dv), dbq=jnp.sum(dq_full, 0),
+            dbk=jnp.sum(dk, 0), dbv=jnp.sum(dv, 0),
+            dwblk=jnp.dot(q.T, dqw) * mask)
+        outs = banded_transformer_bwd(
+            band.bias_noself, q, k, v, cot, H, qw=qw, gs=gs,
+            geo_band=band.geo, pos=band.pos, mean_expand=True,
+            project_x=x, project_wq=wq, project_wk=wk, project_wv=wv,
+            project_wblk=wblk)
+        for val, name in zip(
+                outs, ("dx", "dwq", "dwk", "dwv", "dbq", "dbk", "dbv",
+                       "dwblk")):
+            np.testing.assert_allclose(
+                np.asarray(val), np.asarray(refs[name]),
+                rtol=3e-4, atol=3e-4, err_msg=name)
+
     def test_fused_train_conv_matches_unfused_grads(self):
         """GATConv(fuse_train=True) train-mode value AND grads == unfused."""
         from gnn_bfs_rans_tpu.models.convs import GATConv
