@@ -74,6 +74,9 @@ TR_BWD_STACKED = True   # head-stacked transformer backward (geo/plain)
 # path engages above a size threshold (partials ≈ 2× dz of HBM round trip).
 BWD_INKERNEL_PROJECT = True
 INKERNEL_PROJECT_MIN_BYTES = 64 * 2 ** 20   # dz bytes; 1M-cell ≈ 1 GB ≫
+# fuse_train forward saves its in-VMEM z as a residual instead of the
+# backward re-projecting it (A/B'd on device)
+FWD_EMIT_Z = True
 
 
 def _prec(dtype):
@@ -339,7 +342,7 @@ def _attn_dropout(p, rate: float, inv_keep: float, seed_val, draw: int = 0):
 # ---------------------------------------------------------- GAT attention
 def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
                 dropout_rate=0.0, mean_heads=False, fuse_proj=False,
-                emit_stats=False):
+                emit_stats=False, emit_z=False):
     """Grouped, head-stacked fused GAT step: G receiver tiles per grid step.
 
     Per receiver tile the softmax runs head-stacked — one [H·T, Wcols] chain
@@ -384,7 +387,15 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
     o_ref = refs[i0 + 1 + span]                             # [G·T, HC]
     # per-row softmax stats, packed [G·T, 2H] f32 (m | inv) like the alphas
     # — saved for the backward's recompute-thinning (see _gat_bwd_kernel)
-    stats_ref = refs[i0 + 2 + span] if emit_stats else None
+    i1 = i0 + 2 + span
+    stats_ref = None
+    if emit_stats:
+        stats_ref = refs[i1]
+        i1 += 1
+    # fuse_proj residual: the in-VMEM projected z of the step's OWNED
+    # sender sub-blocks, written once — the backward then reads it instead
+    # of re-projecting (one [N, HC] write vs a per-layer matmul fusion)
+    z_ref = refs[i1] if emit_z else None
     if dropout_rate > 0:
         inv_keep = 1.0 / (1.0 - dropout_rate)
     if fuse_proj:
@@ -398,6 +409,11 @@ def _gat_kernel(*refs, window, heads, negative_slope, group, sub,
             for k in range(span)
         ]
         c = w_ref.shape[1] // heads
+        if emit_z:
+            r0 = tile // sub
+            k0z = (window - r0) // 2
+            z_ref[...] = jnp.concatenate(
+                [zs[k0z + m] for m in range(group * r0)], axis=0)
     else:
         zs = [z[:] for z in zs]
         c = zs[0].shape[1] // heads
@@ -974,7 +990,7 @@ def banded_gat_mean(bias_self, z, alpha_src, alpha_dst, heads,
 
 def banded_gat_mean_fused_fwd(bias_self, w, alphas, x, heads,
                               negative_slope=0.2, dropout_rate=0.0,
-                              seed=None, emit_stats=False):
+                              seed=None, emit_stats=False, emit_z=False):
     """``banded_gat_mean`` with the z-projection fused into the kernel.
 
     ``w`` is the GAT linear kernel [F, H·C]; sender blocks project to
@@ -1010,18 +1026,25 @@ def banded_gat_mean_fused_fwd(bias_self, w, alphas, x, heads,
         _gat_kernel, window=w_sub, heads=heads,
         negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_heads=True, fuse_proj=True,
-        emit_stats=emit_stats,
+        emit_stats=emit_stats, emit_z=emit_z,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
-    out_spec = pl.BlockSpec((group * tile, hc // heads), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((x.shape[0], hc // heads), x.dtype)
+    out_spec = [pl.BlockSpec((group * tile, hc // heads), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((x.shape[0], hc // heads), x.dtype)]
     if emit_stats:
-        out_spec = (out_spec,
-                    pl.BlockSpec((group * tile, h2), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM))
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((x.shape[0], h2), jnp.float32))
+        out_spec.append(pl.BlockSpec((group * tile, h2), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((x.shape[0], h2), jnp.float32))
+    if emit_z:
+        out_spec.append(pl.BlockSpec((group * tile, hc), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((x.shape[0], hc), x.dtype))
+    if len(out_spec) == 1:
+        out_spec, out_shape = out_spec[0], out_shape[0]
+    else:
+        out_spec, out_shape = tuple(out_spec), tuple(out_shape)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles // group,),
@@ -1070,28 +1093,39 @@ def banded_gat_mean_fused(bias_self, w, alphas, x, heads,
 
 def _gatmf_vjp_fwd(bias_self, w, alphas, x, heads,
                    negative_slope, dropout_rate, seed):
+    z = None
     if BWD_USE_STATS:
         out, stats = banded_gat_mean_fused_fwd(
             bias_self, w, alphas, x, heads, negative_slope, dropout_rate,
             seed, emit_stats=True,
         )
+    elif FWD_EMIT_Z:
+        # the kernel saves its in-VMEM z of the owned sub-blocks as a
+        # residual: one extra [N, HC] write instead of the backward's
+        # per-layer re-projection matmul fusion
+        out, z = banded_gat_mean_fused_fwd(
+            bias_self, w, alphas, x, heads, negative_slope, dropout_rate,
+            seed, emit_z=True,
+        )
+        stats = None
     else:
         out = banded_gat_mean_fused_fwd(
             bias_self, w, alphas, x, heads, negative_slope, dropout_rate,
             seed,
         )
         stats = None
-    return out, (bias_self, w, alphas, x, seed, stats)
+    return out, (bias_self, w, alphas, x, seed, stats, z)
 
 
 def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
     from .banded_bwd import banded_gat_bwd, fold_project_bwd
 
-    bias_self, w, alphas, x, seed, stats = res
-    # re-project exactly as the in-kernel projection does (f32 accumulate →
-    # primal dtype) so the attention recompute in the backward kernel sees
-    # bit-identical z
-    z = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(w.dtype)
+    bias_self, w, alphas, x, seed, stats, z = res
+    if z is None:
+        # re-project exactly as the in-kernel projection does (f32
+        # accumulate → primal dtype) so the attention recompute in the
+        # backward kernel sees bit-identical z
+        z = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(w.dtype)
     tile = bias_self.shape[1]
     if (BWD_INKERNEL_PROJECT and w.shape[1] >= 128
             and z.size * z.dtype.itemsize >= INKERNEL_PROJECT_MIN_BYTES):
