@@ -1168,6 +1168,88 @@ def _gatmf_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
 banded_gat_mean_fused.defvjp(_gatmf_vjp_fwd, _gatmf_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def banded_gat_mean_fused_wa(bias_self, w, wa, x, heads,
+                             negative_slope=0.2, dropout_rate=0.0,
+                             seed=None):
+    """``banded_gat_mean_fused`` with the α matmul INSIDE the vjp boundary.
+
+    ``wa = (W·amat)`` is the [F, 2H] packed α factor; α = x·wa is computed
+    in XLA here so the op's cotangents are (dW, dWa, dx) — no [N, 2H]
+    narrow cotangent crosses the boundary.  On the large-shape project
+    path the backward folds the α gradients in-kernel (lane-major [8, ·]
+    layouts), so the physically lane-padded dα streams (≈1.5 GB/layer at
+    1M cells: das partials 1.02 GB + dad 0.5 GB) never exist in HBM.
+    """
+    alphas = jnp.dot(x, wa, preferred_element_type=jnp.float32)
+    return banded_gat_mean_fused_fwd(
+        bias_self, w, alphas, x, heads, negative_slope, dropout_rate, seed,
+    )
+
+
+def _gatmfwa_vjp_fwd(bias_self, w, wa, x, heads, negative_slope,
+                     dropout_rate, seed):
+    alphas = jnp.dot(x, wa, preferred_element_type=jnp.float32)
+    z = None
+    if FWD_EMIT_Z:
+        out, z = banded_gat_mean_fused_fwd(
+            bias_self, w, alphas, x, heads, negative_slope, dropout_rate,
+            seed, emit_z=True,
+        )
+    else:
+        out = banded_gat_mean_fused_fwd(
+            bias_self, w, alphas, x, heads, negative_slope, dropout_rate,
+            seed,
+        )
+    return out, (bias_self, w, wa, alphas, x, seed, z)
+
+
+def _gatmfwa_vjp_bwd(heads, negative_slope, dropout_rate, res, g):
+    from .banded_bwd import banded_gat_bwd, fold_project_bwd
+
+    bias_self, w, wa, alphas, x, seed, z = res
+    if z is None:
+        z = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(w.dtype)
+    tile = bias_self.shape[1]
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    if (BWD_INKERNEL_PROJECT and w.shape[1] >= 128 and heads <= 8
+            and z.size * z.dtype.itemsize >= INKERNEL_PROJECT_MIN_BYTES):
+        # everything in-kernel: dz, dα and both projections
+        dx, dw, dwa = banded_gat_bwd(
+            bias_self, z, alphas, g.astype(z.dtype), heads,
+            negative_slope, dropout_rate=dropout_rate, seed=seed,
+            mean_expand=True, mxu_das=BWD_MXU_DAS,
+            project_x=x, project_w=w, alpha_wa=wa,
+        )
+        return (_zero_cot(bias_self), dw.astype(w.dtype), dwa,
+                dx.astype(x.dtype), dseed)
+    # small-shape path: fused fold+projection for dz, XLA for the narrow α
+    fuse_fold = BWD_FOLD_PROJECT and w.shape[1] >= 128
+    dz, da = banded_gat_bwd(
+        bias_self, z, alphas, g.astype(z.dtype), heads,
+        negative_slope, dropout_rate=dropout_rate, seed=seed,
+        mean_expand=True, mxu_das=BWD_MXU_DAS,
+        raw_dz_partials=fuse_fold,
+    )
+    if fuse_fold:
+        dx, dw = fold_project_bwd(dz, x, w, tile)
+        dx = dx.astype(x.dtype)
+        dw = dw.astype(w.dtype)
+    else:
+        dx = jnp.dot(dz, w.T,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+        dw = jnp.dot(x.T, dz,
+                     preferred_element_type=jnp.float32).astype(w.dtype)
+    dwa = jnp.dot(x.T, da,
+                  preferred_element_type=jnp.float32).astype(wa.dtype)
+    dx = dx + jnp.dot(da.astype(x.dtype), wa.T,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    return (_zero_cot(bias_self), dw, dwa, dx, dseed)
+
+
+banded_gat_mean_fused_wa.defvjp(_gatmfwa_vjp_fwd, _gatmfwa_vjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def banded_transformer(bias_noself, q, k, v, heads, dropout_rate=0.0,
                        seed=None):

@@ -327,7 +327,7 @@ def combine_partials(part: jax.Array, tile: int) -> jax.Array:
 def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
                     dropout_rate=0.0, mean_expand=False, use_stats=False,
                     delta_rs=False, mxu_das=False, dz_dg=False,
-                    project=False):
+                    project=False, alpha_project=False):
     """Grouped + head-stacked, mirroring ``banded._gat_kernel`` — the
     softmax recompute runs as wide [H·T, Wcols] VPU ops over the half-tile
     window (see the forward kernel) and, when dropout is on, the
@@ -367,9 +367,19 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
     if project:
         xs = refs[i:i + span]; i += span         # span × [sub, F] (x window)
         w_ref = refs[i]; i += 1                  # [F, HC]
-        dad_ref, das_ref = refs[i], refs[i + 1]; i += 2
-        dx_ref, dw_ref = refs[i], refs[i + 1]; i += 2
-        carry_ref = refs[i]                      # VMEM scratch [L·sub, HC]
+        if alpha_project:
+            # α factor matrices inside the boundary too (src/dst halves
+            # pre-split and 8-padded for clean tiles): the narrow dα
+            # streams never exist in HBM (see banded_gat_bwd doc)
+            was_ref, wad_ref = refs[i], refs[i + 1]; i += 2   # [F, 8]
+            dx_ref, dw_ref = refs[i], refs[i + 1]; i += 2
+            dxr_ref = refs[i]; i += 1            # [G·T, F] receiver rows
+            dwas_ref, dwad_ref = refs[i], refs[i + 1]; i += 2  # [8, F] f32
+            carry_ref, carry_a_ref = refs[i], refs[i + 1]
+        else:
+            dad_ref, das_ref = refs[i], refs[i + 1]; i += 2
+            dx_ref, dw_ref = refs[i], refs[i + 1]; i += 2
+            carry_ref = refs[i]                  # VMEM scratch [L·sub, HC]
         n_real = pl.num_programs(0) - 1
         pid = pl.program_id(0)
         k0 = (window - r) // 2
@@ -380,6 +390,9 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
         @pl.when(pid == 0)
         def _init():
             dw_ref[...] = jnp.zeros_like(dw_ref)
+            if alpha_project:
+                dwas_ref[...] = jnp.zeros_like(dwas_ref)
+                dwad_ref[...] = jnp.zeros_like(dwad_ref)
     else:
         dad_ref, das_ref, dz_ref = refs[i], refs[i + 1], refs[i + 2]
 
@@ -401,6 +414,7 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
         # into the carry scratch for the next step.  Contributions computed
         # by the flush-only extra grid step are scaled to zero.
         local = [None] * n_local
+        local_a = [None] * n_local if alpha_project else None
         vf = jnp.where(pid < n_real, 1.0, 0.0)
     for g in range(group):
         bias_cat = (mask_ref[g].astype(jnp.float32) - 1.0) * 1e30  # [T, Wc]
@@ -495,10 +509,27 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
             rs = jnp.sum(e * dp, axis=1, keepdims=True) * inv
         dl = e * ((dp - rs) * inv)                           # softmax VJP
         dpre = dl * jnp.where(pre >= 0, 1.0, negative_slope)  # [H·T, WT]
+        if project and alpha_project:
+            # zero the α contributions of the flush-only extra step too
+            dpre = dpre * vf
         dad_cols = []
         das_blocks = [[] for _ in range(window)]  # [k][h] → [sub, 1]
         dz_blocks = [[] for _ in range(window)]   # [k] → [sub, C] per head
-        if mxu_das:
+        if alpha_project:
+            # dα_src column sums in [8, Wcols] orientation (rows ≥ H zero):
+            # the per-window blocks slice on the LANE dim, matching the
+            # lane-major local_a/carry layout that avoids all [.., H]
+            # lane-padding
+            sel8 = (jax.lax.broadcasted_iota(
+                jnp.int32, (8, heads * tile), 0)
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (8, heads * tile), 1) // tile)
+            colsum8 = jax.lax.dot_general(
+                _mm_cast(sel8.astype(jnp.float32), dt), _mm_cast(dpre, dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                                # [8, Wcols]
+        elif mxu_das:
             # all H·W column sums as ONE MXU contraction over the plane's
             # row dim: out[w, h] = Σ_j dpre[j, w]·sel[j, h] with
             # sel[j, h] = 1 iff row j belongs to head h — lands [Wcols, H]
@@ -517,7 +548,7 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
             dad_cols.append(jnp.sum(dpre[rows], axis=1, keepdims=True))
             for k in range(window):
                 cols = slice(k * sub, (k + 1) * sub)
-                if not mxu_das:
+                if not mxu_das and not alpha_project:
                     das_blocks[k].append(
                         jnp.sum(dpre[rows, cols], axis=0)[:, None])
                 if dz_dg:
@@ -533,7 +564,36 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
                         _mm_cast(e_d[rows, cols], dt).T,
                         _mm_cast(gout_s[h], dt),
                         preferred_element_type=jnp.float32, precision=prec))
-        if project:
+        if project and alpha_project:
+            # α receiver side: dxr = dad·wa_dstᵀ (write-guarded), dWa_dst
+            # accumulate — dad never exists in HBM.  dad8 pads H → 8 lanes
+            # with zero columns so every contraction is a clean tile.
+            dad8 = jnp.concatenate(
+                dad_cols + [jnp.zeros((tile, 1), jnp.float32)] * (8 - heads),
+                axis=1)                                      # [T, 8]
+            x_dir = jnp.concatenate(
+                [xs[g * r + k0 + j][:] for j in range(r)], axis=0)
+
+            @pl.when(pid < n_real)
+            def _store_dxr(g=g, dad8=dad8):
+                dxr_ref[g * tile:(g + 1) * tile] = jax.lax.dot_general(
+                    dad8.astype(dt), wad_ref[:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(dxr_ref.dtype)
+
+            dwad_ref[...] += jax.lax.dot_general(
+                dad8, x_dir.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for k in range(window):
+                j = g * r + k
+                blk = jnp.concatenate(dz_blocks[k], axis=1)  # [sub, HC] f32
+                local[j] = blk if local[j] is None else local[j] + blk
+                a_blk = colsum8[:, k * sub:(k + 1) * sub]    # [8, sub]
+                local_a[j] = (a_blk if local_a[j] is None
+                              else local_a[j] + a_blk)
+        elif project:
             @pl.when(pid < n_real)
             def _store_narrow(g=g, dad_cols=dad_cols, das_blocks=das_blocks,
                               colsum_t=colsum_t if mxu_das else None):
@@ -582,10 +642,36 @@ def _gat_bwd_kernel(*refs, window, heads, negative_slope, group, sub,
             [local[j] for j in range(n_fin)], axis=0).astype(dt)
         x_win = jnp.concatenate(
             [xs[j][:] for j in range(n_fin)], axis=0)        # [G·T, F]
-        dx_ref[...] = jax.lax.dot_general(
+        dx_win = jax.lax.dot_general(
             dz_win, w_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ).astype(dx_ref.dtype)
+        )
+        if alpha_project:
+            # merge + finalize the α carry in the same shifted window and
+            # fold the α-src term into dx / dWa_src — the [8, ·] lane-major
+            # layout never pays the [N, H] lane-padding
+            cin_a = carry_a_ref[...]                         # [8, L·sub]
+            for m in range(carry_subs):
+                a_blk = jnp.where(pid == 0, 0.0,
+                                  cin_a[:, m * sub:(m + 1) * sub])
+                local_a[m] = (a_blk if local_a[m] is None
+                              else local_a[m] + a_blk)
+            for j in range(n_local):
+                if local_a[j] is None:
+                    local_a[j] = jnp.zeros((8, sub), jnp.float32)
+            das_win8 = jnp.concatenate(
+                [local_a[j] for j in range(n_fin)], axis=1)  # [8, G·T]
+            dx_win = dx_win + jax.lax.dot_general(
+                _mm_cast(das_win8, dt), was_ref[:],
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dwas_ref[...] += jax.lax.dot_general(
+                das_win8, x_win.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            carry_a_ref[...] = jnp.concatenate(
+                [local_a[n_fin + m] for m in range(carry_subs)], axis=1)
+        dx_ref[...] = dx_win.astype(dx_ref.dtype)
         dw_ref[...] += jax.lax.dot_general(
             x_win, dz_win, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
@@ -597,7 +683,7 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
                    negative_slope=0.2, dropout_rate=0.0, seed=None,
                    mean_expand=False, stats=None, delta_rs=False,
                    mxu_das=False, dz_dg=False, raw_dz_partials=False,
-                   project_x=None, project_w=None):
+                   project_x=None, project_w=None, alpha_wa=None):
     """Fused backward of ``banded_gat_fwd`` → (dz, dalphas).
 
     ``alphas`` is PACKED [N, 2H] (src|dst), sliced in VMEM like the forward
@@ -622,6 +708,9 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
     g_feat = hc // heads if mean_expand else hc
     use_stats = stats is not None
     project = project_x is not None
+    alpha = alpha_wa is not None
+    assert not alpha or (project and heads <= 8), \
+        "alpha_wa requires project mode and heads <= 8"
     f = project_x.shape[1] if project else 0
     group = _choose_group(
         n_tiles, w_sub, tile, sub=sub,
@@ -643,7 +732,7 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         negative_slope=negative_slope, group=group, sub=sub,
         dropout_rate=dropout_rate, mean_expand=mean_expand,
         use_stats=use_stats, delta_rs=delta_rs, mxu_das=mxu_das, dz_dg=dz_dg,
-        project=project,
+        project=project, alpha_project=alpha,
     )
     seed_in, seed_specs = _seed_inputs(dropout_rate, seed)
     stats_in, stats_specs = [], []
@@ -673,15 +762,18 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
     ]
     inputs = [*seed_in, bias_self, *([alphas] * span), alphas, *stats_in,
               *([z] * span), g]
-    out_specs = [
-        pl.BlockSpec((group * tile, h), dmap, memory_space=pltpu.VMEM),
-        _part_spec_clamped(w_sub, sub, h, group, n_real) if project
-        else _part_spec(w_sub, sub, h, group),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((n, h), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, w_sub, sub, h), jnp.float32),
-    ]
+    if alpha:
+        out_specs, out_shape = [], []
+    else:
+        out_specs = [
+            pl.BlockSpec((group * tile, h), dmap, memory_space=pltpu.VMEM),
+            _part_spec_clamped(w_sub, sub, h, group, n_real) if project
+            else _part_spec(w_sub, sub, h, group),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, w_sub, sub, h), jnp.float32),
+        ]
     scratch_shapes = []
     if project:
         in_specs += [
@@ -690,6 +782,14 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
                          memory_space=pltpu.VMEM),
         ]
         inputs += [*([project_x] * span), project_w]
+        if alpha:
+            # α factor halves, 8-padded [F, 8] for clean tiles
+            wa8 = jnp.zeros((f, 8), alpha_wa.dtype)
+            was8 = wa8.at[:, :h].set(alpha_wa[:, :h])
+            wad8 = wa8.at[:, :h].set(alpha_wa[:, h:])
+            in_specs += [pl.BlockSpec((f, 8), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+            inputs += [was8, wad8]
         out_specs += [
             pl.BlockSpec((group * tile, f), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -703,6 +803,22 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
             jax.ShapeDtypeStruct((f, hc), jnp.float32),
         ]
         scratch_shapes = [pltpu.VMEM(((w_sub - r) * sub, hc), jnp.float32)]
+        if alpha:
+            out_specs += [
+                pl.BlockSpec((group * tile, f), dmap,
+                             memory_space=pltpu.VMEM),       # dxr (guarded)
+                pl.BlockSpec((8, f), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),       # dwa_src acc
+                pl.BlockSpec((8, f), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),       # dwa_dst acc
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((n, f), project_x.dtype),
+                jax.ShapeDtypeStruct((8, f), jnp.float32),
+                jax.ShapeDtypeStruct((8, f), jnp.float32),
+            ]
+            scratch_shapes.append(
+                pltpu.VMEM((8, (w_sub - r) * sub), jnp.float32))
     else:
         out_specs.append(_part_spec(w_sub, sub, hc, group))
         out_shape.append(
@@ -730,6 +846,16 @@ def banded_gat_bwd(bias_self, z, alphas, g, heads,
         ),
         interpret=_use_interpret(),
     )(*inputs)
+    if alpha:
+        dx_arr, dw, dxr, dwas, dwad = outs
+        k0 = (w_sub - r) // 2
+        dx = (jax.lax.slice_in_dim(dx_arr, k0 * sub, k0 * sub + n, axis=0)
+              + dxr)
+        # [F, 2H] α-factor cotangent from the two [8, F] accumulators —
+        # tiny transposes, no [N, narrow] array anywhere
+        dwa = jnp.concatenate([dwas[:h].T, dwad[:h].T],
+                              axis=1).astype(alpha_wa.dtype)
+        return dx, dw, dwa
     dad, das_part = outs[0], outs[1]
     das = combine_partials(das_part, tile)
     # packed dα (src|dst) — one concat of two already-f32 streams

@@ -165,18 +165,27 @@ class GATConv(nn.Module):
             # packed α in ONE matmul (no narrow src/dst split in HBM —
             # f32[N, H] tensors tile to T(8,128), 16-32× padding waste;
             # in-kernel α was measured slower, see banded_gat_mean_fused_fwd)
-            alphas = jnp.dot(
-                x, (w.astype(jnp.float32) @ amat).astype(x.dtype),
-                preferred_element_type=jnp.float32,
-            )  # [N, 2H]
+            wa = (w.astype(jnp.float32) @ amat).astype(x.dtype)  # [F, 2H]
             rate, seed = 0.0, None
             if self.dropout > 0 and not deterministic:
                 rate = self.dropout
                 seed = _dropout_seed(self.make_rng("dropout"))
-            out2d = banded_gat_mean_fused(
-                graph.band.bias_self, w, alphas, x,
-                H, self.negative_slope, rate, seed,
-            )
+            if deterministic:
+                alphas = jnp.dot(x, wa, preferred_element_type=jnp.float32)
+                out2d = banded_gat_mean_fused(
+                    graph.band.bias_self, w, alphas, x,
+                    H, self.negative_slope, rate, seed,
+                )
+            else:
+                # training: the α matmul moves inside the vjp boundary so
+                # the backward can fold dα in-kernel on the large-shape
+                # project path (see banded_gat_mean_fused_wa)
+                from ..kernels.banded import banded_gat_mean_fused_wa
+
+                out2d = banded_gat_mean_fused_wa(
+                    graph.band.bias_self, w, wa, x,
+                    H, self.negative_slope, rate, seed,
+                )
             bias = self.param("bias", nn.initializers.zeros, (C,))
             return out2d + bias.astype(out2d.dtype)
 

@@ -888,6 +888,62 @@ class TestFusedProjectionGAT:
                                preferred_element_type=jnp.float32)),
             rtol=2e-4, atol=2e-4)
 
+    def test_alpha_inkernel_project_matches_separate(self):
+        """The α-inside-the-boundary backward (alpha_wa) must reproduce the
+        separate dz/dα path exactly — exercised directly because the size
+        gate keeps it off at test shapes."""
+        from gnn_bfs_rans_tpu.kernels.banded_bwd import banded_gat_bwd
+
+        g = _band_graph(width=16)
+        rng = np.random.default_rng(13)
+        H, C, F = 2, 8, 16
+        hc = H * C
+        x = jnp.asarray(rng.normal(size=(g.n_pad, F)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(F, hc)).astype(np.float32)) * 0.3
+        wa = jnp.asarray(
+            rng.normal(size=(F, 2 * H)).astype(np.float32)) * 0.2
+        z = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        al = jnp.dot(x, wa, preferred_element_type=jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(g.n_pad, C)).astype(np.float32))
+
+        dz, da = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, mean_expand=True)
+        dx_ref = (jnp.dot(dz, w.T, preferred_element_type=jnp.float32)
+                  + jnp.dot(da, wa.T, preferred_element_type=jnp.float32))
+        dw_ref = jnp.dot(x.T, dz, preferred_element_type=jnp.float32)
+        dwa_ref = jnp.dot(x.T, da, preferred_element_type=jnp.float32)
+
+        dx, dw, dwa = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, mean_expand=True,
+            project_x=x, project_w=w, alpha_wa=wa)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dwa), np.asarray(dwa_ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # dropout: the flush-step guard must also zero the α streams
+        seed = jnp.zeros((1,), jnp.int32)
+        dz_d, da_d = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, dropout_rate=0.25,
+            seed=seed, mean_expand=True)
+        dx_d, _, dwa_d = banded_gat_bwd(
+            g.band.bias_self, z, al, cot, H, 0.2, dropout_rate=0.25,
+            seed=seed, mean_expand=True, project_x=x, project_w=w,
+            alpha_wa=wa)
+        np.testing.assert_allclose(
+            np.asarray(dwa_d),
+            np.asarray(jnp.dot(x.T, da_d,
+                               preferred_element_type=jnp.float32)),
+            rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(dx_d),
+            np.asarray(jnp.dot(dz_d, w.T, preferred_element_type=jnp.float32)
+                       + jnp.dot(da_d, wa.T,
+                                 preferred_element_type=jnp.float32)),
+            rtol=2e-4, atol=2e-4)
+
     def test_tr_inkernel_project_matches_separate(self):
         """The transformer carry-based in-kernel projection backward must
         reproduce the separate-path gradients (geo path; wblk is
